@@ -1,0 +1,239 @@
+"""Convolution, FIR design and polyphase rational resampling.
+
+Reference behavior: `Transceiver/sigProcLib.cpp:267-408` (convolve with
+span modes), `:1102-1150` (createLPF), `:1154-1210`
+(polyphaseResampleVector), and the 52M CUSTOM windowed span
+(`Transceiver52M/sigProcLib.h:47`).
+
+TPU-first design notes
+----------------------
+* The reference convolves one pointer-chased vector at a time; here every
+  convolution is a batched `lax.conv_general_dilated` over a
+  ``[batch, time]`` layout, which XLA lowers to MXU matmuls.
+* Complex convolution is decomposed into real convolutions (3 or 4 real
+  planes) because the MXU is a real systolic array; static ``a_real`` /
+  ``b_real`` flags skip dead planes exactly like the reference's
+  `isRealOnly` fast paths.
+* The polyphase resampler is expressed as a single strided/dilated
+  convolution (zero-stuff by P → FIR → take every Q-th output), instead
+  of the reference's per-output-branch scalar loop. The group-delay
+  offset (`(len-1)/2/Q`, sigProcLib.cpp:1177) is folded into the
+  convolution padding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+# Span modes, mirroring ConvType (Transceiver/sigProcLib.h:41-48 + 52M CUSTOM).
+FULL_SPAN = "full"
+OVERLAP_ONLY = "overlap"
+START_ONLY = "start"
+WITH_TAIL = "with_tail"
+NO_DELAY = "no_delay"
+CUSTOM = "custom"
+
+
+def _as_2d(x: Array):
+    """Collapse leading axes to one batch axis; return (x2d, unflatten)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape((-1, x.shape[-1]))
+    return x2, lead
+
+
+def _real_conv_full(a: Array, b: Array) -> Array:
+    """Real full convolution along the last axis.
+
+    a: [B, La] float32. b: [Lb] (shared) or [B, Lb] (per-batch) float32.
+    Returns [B, La + Lb - 1].
+    """
+    B, La = a.shape
+    b = jnp.asarray(b, a.dtype)
+    Lb = b.shape[-1]
+    bk = jnp.flip(b, axis=-1)  # XLA convs are cross-correlations
+    pad = [(Lb - 1, Lb - 1)]
+    if b.ndim == 1:
+        out = lax.conv_general_dilated(
+            a[:, None, :], bk[None, None, :], (1,), pad,
+            precision=lax.Precision.HIGHEST,
+        )
+        return out[:, 0, :]
+    # Per-batch filters: depthwise (grouped) convolution.
+    out = lax.conv_general_dilated(
+        a[None, :, :], bk[:, None, :], (1,), pad,
+        feature_group_count=B,
+        precision=lax.Precision.HIGHEST,
+    )
+    return out[0]
+
+
+def conv_full_complex(a: Array, b: Array, *, a_real: bool = False,
+                      b_real: bool = False) -> Array:
+    """Complex full convolution via real planes. Shapes as _real_conv_full."""
+    ar = jnp.real(a).astype(jnp.float32)
+    br = jnp.real(b).astype(jnp.float32)
+    if a_real and b_real:
+        return _real_conv_full(ar, br).astype(jnp.complex64)
+    if a_real:
+        bi = jnp.imag(b).astype(jnp.float32)
+        return (_real_conv_full(ar, br) + 1j * _real_conv_full(ar, bi)).astype(
+            jnp.complex64)
+    if b_real:
+        ai = jnp.imag(a).astype(jnp.float32)
+        return (_real_conv_full(ar, br) + 1j * _real_conv_full(ai, br)).astype(
+            jnp.complex64)
+    ai = jnp.imag(a).astype(jnp.float32)
+    bi = jnp.imag(b).astype(jnp.float32)
+    rr = _real_conv_full(ar, br)
+    ii = _real_conv_full(ai, bi)
+    ri = _real_conv_full(ar, bi)
+    ir = _real_conv_full(ai, br)
+    return ((rr - ii) + 1j * (ri + ir)).astype(jnp.complex64)
+
+
+def _mode_window(La: int, Lb: int, mode: str, start: Optional[int],
+                 length: Optional[int]):
+    """(start, size) into the full convolution, per span mode.
+
+    Mirrors the startIndex/outSize switch at sigProcLib.cpp:276-304.
+    Out-of-range taps read as zero (the reference's iterator guards).
+    """
+    if mode == FULL_SPAN:
+        return 0, La + Lb - 1
+    if mode == OVERLAP_ONLY:
+        return La, abs(La - Lb) + 1
+    if mode == START_ONLY:
+        return 0, La
+    if mode == WITH_TAIL:
+        return Lb, La
+    if mode == NO_DELAY:
+        return (Lb // 2 if Lb % 2 else Lb // 2 - 1), La
+    if mode == CUSTOM:
+        if start is None or length is None:
+            raise ValueError("custom span needs start and length")
+        return start, length
+    raise ValueError(f"unknown span mode {mode!r}")
+
+
+def convolve(a: Array, b: Array, mode: str = FULL_SPAN, *,
+             a_real: bool = False, b_real: bool = False,
+             start: Optional[int] = None,
+             length: Optional[int] = None) -> Array:
+    """Batched complex convolution with the reference's span modes.
+
+    a: [..., La]; b: [Lb] shared or [..., Lb] per-batch (leading axes must
+    match a's). Returns [..., outSize] complex64.
+    """
+    a2, lead = _as_2d(jnp.asarray(a))
+    if jnp.asarray(b).ndim > 1:
+        b2 = jnp.asarray(b).reshape((-1, jnp.asarray(b).shape[-1]))
+    else:
+        b2 = jnp.asarray(b)
+    La, Lb = a2.shape[-1], b2.shape[-1]
+    s, n = _mode_window(La, Lb, mode, start, length)
+    full = conv_full_complex(a2, b2, a_real=a_real, b_real=b_real)
+    # Zero-pad so any window inside [0, s+n) is valid.
+    deficit = s + n - full.shape[-1]
+    if deficit > 0:
+        full = jnp.pad(full, ((0, 0), (0, deficit)))
+    out = lax.slice_in_dim(full, s, s + n, axis=-1)
+    return out.reshape(lead + (n,))
+
+
+def correlate(a: Array, b: Array, mode: str = NO_DELAY, *,
+              a_real: bool = False, b_real: bool = False,
+              start: Optional[int] = None,
+              length: Optional[int] = None) -> Array:
+    """Correlation = convolution with the time-reversed conjugate of b.
+
+    (reference: Transceiver/sigProcLib.cpp:474-503; the 52M variant
+    precomputes reversed-conjugated templates — here that fold happens at
+    trace time, so it is free after jit.)
+    """
+    brc = jnp.flip(jnp.conj(jnp.asarray(b)), axis=-1)
+    return convolve(a, brc, mode, a_real=a_real, b_real=b_real,
+                    start=start, length=length)
+
+
+@functools.lru_cache(maxsize=None)
+def design_lpf(cutoff: float, num_taps: int, dc_gain: float = 1.0) -> np.ndarray:
+    """Windowed-sinc low-pass FIR, DC-gain normalized.
+
+    Same design rule as the reference's (commented) general createLPF loop
+    (Transceiver/sigProcLib.cpp:1106-1118): sinc at `cutoff` (normalized to
+    the sampling rate), Hamming-family window over L+1, then scale so the
+    tap sum equals `dc_gain` (sigProcLib.cpp:1141-1147). The reference
+    ships two baked tables (rcvLPF_651/sendLPF_961) produced by this rule;
+    we synthesize them.
+    """
+    i = np.arange(num_taps, dtype=np.float64)
+    t = i - (num_taps + 1) / 2.0
+    ys = np.sinc(2.0 * cutoff * t)  # sin(2π fc t)/(2π fc t)
+    yw = 0.53836 - 0.46164 * np.cos(2.0 * np.pi * i / (num_taps + 1))
+    taps = ys * yw
+    taps *= dc_gain / taps.sum()
+    return taps.astype(np.float32)
+
+
+def resampler_lpf(p: int, q: int, num_taps: int) -> np.ndarray:
+    """LPF for a P/Q rational resampler, cutoff 1/max(P,Q), DC gain P.
+
+    (reference usage: Transceiver/sigProcLibTest.cpp:83-96 and
+    radioInterface.cpp:130-133,218-222 — 651 taps for the 96/65 send
+    path, 961 taps for the 65/96 receive path.)
+    """
+    cutoff = 1.0 / max(p, q)
+    return design_lpf(cutoff, num_taps, dc_gain=float(p))
+
+
+def polyphase_output_len(in_len: int, p: int, q: int) -> int:
+    """ceil(in_len * P / Q) (sigProcLib.cpp:1171)."""
+    return -(-in_len * p // q)
+
+
+def polyphase_resample(x: Array, p: int, q: int, lpf: Array, *,
+                       x_real: bool = False) -> Array:
+    """P/Q rational resampling with group-delay compensation.
+
+    x: [..., T]. Returns [..., ceil(T*P/Q)] complex64. Matches the
+    reference's branch indexing (sigProcLib.cpp:1177-1205): output i is
+    the full convolution of the P-zero-stuffed input with the LPF,
+    sampled at index (i0 + i)*Q where i0 = (len(lpf)-1)//(2*Q).
+    """
+    x2, lead = _as_2d(jnp.asarray(x))
+    lpf = jnp.asarray(lpf)
+    Lh = lpf.shape[-1]
+    T = x2.shape[-1]
+    n_out = polyphase_output_len(T, p, q)
+    i0 = (Lh - 1) // 2 // q
+    pad_left = Lh - 1 - i0 * q
+    eff_len = (T - 1) * p + 1  # zero-stuffed input length
+    last_idx = (i0 + n_out - 1) * q  # last full-conv index needed
+    pad_right = max(0, last_idx - pad_left - eff_len + Lh)
+
+    def _plane(xr):
+        out = lax.conv_general_dilated(
+            xr[:, None, :],
+            jnp.flip(lpf.astype(jnp.float32))[None, None, :],
+            window_strides=(q,),
+            padding=[(pad_left, pad_right)],
+            lhs_dilation=(p,),
+            precision=lax.Precision.HIGHEST,
+        )
+        return out[:, 0, :n_out]
+
+    re = _plane(jnp.real(x2).astype(jnp.float32))
+    if x_real:
+        out = re.astype(jnp.complex64)
+    else:
+        im = _plane(jnp.imag(x2).astype(jnp.float32))
+        out = (re + 1j * im).astype(jnp.complex64)
+    return out.reshape(lead + (n_out,))
