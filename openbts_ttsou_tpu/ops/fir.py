@@ -184,13 +184,18 @@ def design_lpf(cutoff: float, num_taps: int, dc_gain: float = 1.0) -> np.ndarray
 
 
 def resampler_lpf(p: int, q: int, num_taps: int) -> np.ndarray:
-    """LPF for a P/Q rational resampler, cutoff 1/max(P,Q), DC gain P.
+    """LPF for a P/Q rational resampler: anti-image/anti-alias cutoff
+    0.5/max(P,Q) (at the P-upsampled rate), DC gain P.
 
-    (reference usage: Transceiver/sigProcLibTest.cpp:83-96 and
-    radioInterface.cpp:130-133,218-222 — 651 taps for the 96/65 send
-    path, 961 taps for the 65/96 receive path.)
+    The reference requests 651 taps for the 96/65 send path and 961 for
+    the 65/96 receive path (Transceiver/radioInterface.cpp:130-133,
+    218-222); createLPF ignores the requested cutoff and loads baked
+    tables (sigProcLib.cpp:1122-1138) whose measured cutoff is ≈0.5/96 —
+    the textbook choice reproduced here. The chain is then
+    amplitude-preserving (unit passband gain after the DC-gain-P
+    normalization at sigProcLib.cpp:1141-1147).
     """
-    cutoff = 1.0 / max(p, q)
+    cutoff = 0.5 / max(p, q)
     return design_lpf(cutoff, num_taps, dc_gain=float(p))
 
 
