@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark: uplink DSP chain throughput on one TPU chip.
+
+Runs the flagship pipeline — 961-tap polyphase resample (65/96) →
+energy detect → TSC/RACH correlate → peak detect → channel est/DFE →
+demodulate — batched over many ARFCN channels, and reports device-rate
+complex Msamples/s/chip. Baseline: the same chain in single-core C++
+(bench/cpu_baseline.cpp, the reference's per-sample loop structure),
+measured on this machine and cached.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+BASELINE_CACHE = os.path.join(REPO, "bench", "baseline_cpu.json")
+
+
+def measure_cpu_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["samples_per_s"]
+    exe = os.path.join(REPO, "bench", "cpu_baseline")
+    src = os.path.join(REPO, "bench", "cpu_baseline.cpp")
+    subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src], check=True)
+    out = subprocess.run([exe, "40"], check=True, capture_output=True,
+                        text=True).stdout.strip()
+    data = json.loads(out)
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(data, f)
+    return data["samples_per_s"]
+
+
+def main():
+    import numpy as np
+
+    n_chan = int(os.environ.get("BENCH_CHANNELS", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    baseline_sps = measure_cpu_baseline()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openbts_ttsou_tpu.models.transceiver import UplinkSpec, uplink_block
+    from openbts_ttsou_tpu.ops import gmsk
+    from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
+    from openbts_ttsou_tpu.utils import constants as C
+
+    cfg = TrxConfig(n_chan=n_chan)
+    spec = UplinkSpec(frames=13)
+
+    chan_type = np.zeros((n_chan, 8), np.int32)
+    chan_type[:, 1:] = ChanType.I
+    chan_type[:, 0] = ChanType.IV
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    # synthesize device-rate IQ with real bursts planted (keeps every
+    # detection path honest; compute is data-independent anyway)
+    rng = np.random.default_rng(0)
+    sym = (rng.standard_normal((n_chan, spec.block_symbols))
+           + 1j * rng.standard_normal((n_chan, spec.block_symbols))
+           ).astype(np.complex64) * 10.0
+    bits = np.concatenate(
+        [[0, 0, 0], rng.integers(0, 2, 57), [1], C.TRAINING_SEQUENCE[0], [1],
+         rng.integers(0, 2, 57), [0, 0, 0]]).astype(np.uint8)
+    wave = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1))[0]
+    for c in range(n_chan):
+        for f in range(spec.frames):
+            off = f * 1250 + 157
+            sym[c, off: off + 148] += wave
+    from openbts_ttsou_tpu.ops import fir
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : spec.block_in])
+
+    # warmup/compile
+    st, res = uplink_block(cfg, spec, state, dev)
+    jax.block_until_ready(res)
+    st, res = uplink_block(cfg, spec, st, dev)
+    jax.block_until_ready(res)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, res = uplink_block(cfg, spec, st, dev)
+    jax.block_until_ready(res)
+    dt = time.perf_counter() - t0
+
+    total_samples = iters * n_chan * spec.block_in
+    sps = total_samples / dt
+    detected = int(np.asarray(res.detected).sum())
+
+    print(json.dumps({
+        "metric": "uplink_chain_throughput",
+        "value": round(sps / 1e6, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(sps / baseline_sps, 2),
+        "detail": {
+            "n_chan": n_chan,
+            "iters": iters,
+            "seconds": round(dt, 4),
+            "detections_last_block": detected,
+            "cpu_baseline_Msps": round(baseline_sps / 1e6, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

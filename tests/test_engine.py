@@ -1,0 +1,201 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openbts_ttsou_tpu.trx import (
+    ChanType,
+    CorrType,
+    TrxConfig,
+    expected_corr_type,
+    init_state,
+    rx_step,
+    tx_step,
+)
+from openbts_ttsou_tpu.trx.engine import SLOT_SAMPLES
+from openbts_ttsou_tpu.ops import gmsk
+from openbts_ttsou_tpu.utils import constants as C
+
+RNG = np.random.default_rng(23)
+
+
+def normal_burst_bits(tsc=0, seed=1):
+    rng = np.random.default_rng(seed)
+    return np.concatenate(
+        [
+            [0, 0, 0],
+            rng.integers(0, 2, 57),
+            [1],
+            C.TRAINING_SEQUENCE[tsc],
+            [1],
+            rng.integers(0, 2, 57),
+            [0, 0, 0],
+        ]
+    ).astype(np.uint8)
+
+
+def rach_burst_bits():
+    return np.concatenate(
+        [[0, 1, 0, 1, 0, 1, 0, 1], C.RACH_SYNCH_SEQUENCE, np.zeros(99, int)]
+    ).astype(np.uint8)
+
+
+def test_expected_corr_type_matches_reference_table():
+    ct = jnp.asarray(
+        [
+            [
+                ChanType.NONE,
+                ChanType.I,
+                ChanType.II,
+                ChanType.IV,
+                ChanType.V,
+                ChanType.VII,
+                ChanType.LOOPBACK,
+                ChanType.III,
+            ]
+        ],
+        jnp.int32,
+    )
+    # fn=20: mod51=20 → V in RACH window (14..36)
+    out = np.asarray(expected_corr_type(ct, jnp.asarray(20)))[0]
+    assert out[0] == CorrType.OFF
+    assert out[1] == CorrType.TSC
+    assert out[2] == CorrType.TSC  # fn even → TSC
+    assert out[3] == CorrType.RACH
+    assert out[4] == CorrType.RACH  # mod51=20 in 14..36
+    assert out[5] == CorrType.TSC
+    assert out[6] == CorrType.TSC
+    assert out[7] == CorrType.TSC
+    # fn=13: mod51=13 → VII idle (12..14), V TSC
+    out = np.asarray(expected_corr_type(ct, jnp.asarray(13)))[0]
+    assert out[5] == CorrType.IDLE
+    assert out[4] == CorrType.TSC
+    assert out[2] == CorrType.IDLE  # fn odd
+
+
+def _mk_frame(cfg, bursts_by_slot):
+    frame = (
+        RNG.standard_normal((cfg.n_chan, 8, SLOT_SAMPLES))
+        + 1j * RNG.standard_normal((cfg.n_chan, 8, SLOT_SAMPLES))
+    ).astype(np.complex64) * 1.0
+    for (c, tn), wave in bursts_by_slot.items():
+        frame[c, tn, : len(wave)] += wave
+    return jnp.asarray(frame)
+
+
+def test_rx_step_detects_tsc_and_rach():
+    cfg = TrxConfig(n_chan=2)
+    state = init_state(cfg)
+    # chan 0: slot 1 = TCH (type I, TSC); chan 1: slot 0 = RACH (type IV)
+    chan_type = np.zeros((2, 8), np.int32)
+    chan_type[0, 1] = ChanType.I
+    chan_type[1, 0] = ChanType.IV
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+
+    bits = normal_burst_bits(tsc=0)
+    nb = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1, guard_len=9))[0]
+    rb = 9000.0 * np.asarray(
+        gmsk.modulate_burst(rach_burst_bits()[None], 1, guard_len=9)
+    )[0]
+    frame = _mk_frame(cfg, {(0, 1): nb, (1, 0): rb})
+
+    state2, res = rx_step(cfg, state, frame)
+    det = np.asarray(res.detected)
+    assert det[0, 1] and det[1, 0]
+    assert not det[0, 0] and not det[1, 1]
+    assert bool(np.asarray(res.is_rach)[1, 0])
+    assert not bool(np.asarray(res.is_rach)[0, 1])
+    # demodulated soft bits recover the transmitted normal burst
+    soft = np.asarray(res.soft_bits)[0, 1]
+    ber = np.mean((soft > 0.5).astype(int) != bits)
+    assert ber < 0.01, f"engine demod BER {ber}"
+    # RSSI ≈ 20log10(9450/9000) ≈ 0.4 dB → floor → 0
+    assert np.asarray(res.rssi)[0, 1] in (0, 1)
+    assert abs(int(np.asarray(res.timing)[0, 1])) < 128  # < half symbol
+    # detection lowers the energy threshold (250 → 248: two hits)
+    thr = np.asarray(state2.energy_threshold)
+    assert thr[0] == pytest.approx(249.0)
+    assert thr[1] == pytest.approx(249.0)
+    # frame number advanced
+    assert int(state2.fn) == 1
+
+
+def test_rx_step_false_alarm_raises_threshold():
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 3] = ChanType.I
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+    # energy but no valid burst: strong noise in the active slot
+    frame = np.zeros((1, 8, SLOT_SAMPLES), np.complex64)
+    frame[0, 3] = (
+        RNG.standard_normal(SLOT_SAMPLES) + 1j * RNG.standard_normal(SLOT_SAMPLES)
+    ).astype(np.complex64) * 5000.0
+    _, res = rx_step(cfg, state, jnp.asarray(frame))
+    state2, _ = rx_step(cfg, state, jnp.asarray(frame))
+    if not bool(np.asarray(res.detected)[0, 3]):
+        # false alarm path: threshold bumped by 10·exp(0) = +10
+        assert float(np.asarray(state2.energy_threshold)[0]) > 250.0
+
+
+def test_rx_step_quiet_lowers_threshold_after_50_frames():
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 0] = ChanType.I
+    state = state._replace(
+        chan_type=jnp.asarray(chan_type),
+        fn=jnp.asarray(100, jnp.int32),
+    )
+    frame = jnp.zeros((1, 8, SLOT_SAMPLES), jnp.complex64)
+    state2, _ = rx_step(cfg, state, frame)
+    assert float(np.asarray(state2.energy_threshold)[0]) == pytest.approx(240.0)
+    assert int(np.asarray(state2.prev_false_detect_fn)[0]) == 100
+
+
+def test_tx_step_modulates_and_fills():
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)
+    bits = np.tile(normal_burst_bits()[None, None], (1, 8, 1))
+    valid = np.zeros((1, 8), bool)
+    valid[0, 2] = True
+    out = np.asarray(
+        tx_step(
+            cfg,
+            state,
+            jnp.asarray(bits),
+            jnp.asarray(valid),
+            jnp.zeros((1, 8), jnp.float32),
+            jnp.asarray(0),
+        )
+    )
+    assert out.shape == (1, 8, SLOT_SAMPLES)
+    # valid slot: modulated at full scale
+    assert np.abs(out[0, 2]).max() > 10000.0
+    # invalid slots: the dummy filler burst
+    filler = np.asarray(state.filler)[0, 0]
+    np.testing.assert_allclose(out[0, 0], filler, rtol=1e-5)
+    # slot 1 (156-sample slot): trailing sample zeroed
+    assert out[0, 1, 156] == 0.0
+
+
+def test_tx_rx_loopback_recovers_bits():
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)
+    chan_type = np.full((1, 8), ChanType.I, np.int32)
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+
+    bits = np.stack([normal_burst_bits(seed=s) for s in range(8)])[None]
+    tx = tx_step(
+        cfg,
+        state,
+        jnp.asarray(bits),
+        jnp.ones((1, 8), bool),
+        jnp.zeros((1, 8), jnp.float32),
+        jnp.asarray(0),
+    )
+    state2, res = rx_step(cfg, state, tx)
+    assert np.asarray(res.detected).all()
+    soft = np.asarray(res.soft_bits)[0]
+    ber = np.mean((soft > 0.5).astype(int) != bits[0])
+    assert ber < 0.01, f"loopback BER {ber}"

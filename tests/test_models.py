@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from openbts_ttsou_tpu.models.transceiver import (
+    Transceiver,
+    UplinkSpec,
+    downlink_block,
+    uplink_block,
+)
+from openbts_ttsou_tpu.ops import fir, gmsk
+from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
+from openbts_ttsou_tpu.utils import constants as C
+
+RNG = np.random.default_rng(53)
+
+
+def normal_burst_bits(tsc=0, seed=1):
+    rng = np.random.default_rng(seed)
+    return np.concatenate(
+        [[0, 0, 0], rng.integers(0, 2, 57), [1], C.TRAINING_SEQUENCE[tsc], [1],
+         rng.integers(0, 2, 57), [0, 0, 0]]).astype(np.uint8)
+
+
+def test_uplink_block_detects_planted_bursts():
+    cfg = TrxConfig(n_chan=2)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.zeros((2, 8), np.int32)
+    chan_type[:, 2] = ChanType.I
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    sym = np.zeros((2, spec.block_symbols), np.complex64)
+    planted = {}
+    for c in range(2):
+        for f in range(2, 11, 4):
+            bits = normal_burst_bits(seed=10 * c + f)
+            wave = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1))[0]
+            sym[c, f * 1250 + 313: f * 1250 + 313 + 148] += wave
+            planted[(c, f)] = bits
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : spec.block_in])
+
+    st, res = uplink_block(cfg, spec, state, dev)
+    det = np.asarray(res.detected)
+    soft = np.asarray(res.soft_bits)
+    for (c, f), bits in planted.items():
+        assert det[f, c, 2], f"missed chan {c} frame {f}"
+        ber = np.mean((soft[f, c, 2] > 0.5).astype(int) != bits)
+        assert ber < 0.02
+    # no detections on inactive slots
+    assert not det[:, :, 0].any()
+    assert int(st.fn) == 13
+
+
+def test_downlink_block_round_trips_through_uplink():
+    """Full duplex loopback at device rate: downlink modulator →
+    96/65 → (wire) → 65/96 → uplink detector."""
+    cfg = TrxConfig(n_chan=1)
+    spec = UplinkSpec(frames=13)
+    state = init_state(cfg)._replace(
+        chan_type=jnp.full((1, 8), ChanType.I, jnp.int32))
+
+    bits = np.zeros((13, 1, 8, 148), np.uint8)
+    sent = {}
+    for f in range(13):
+        for tn in range(8):
+            b = normal_burst_bits(seed=f * 8 + tn)
+            bits[f, 0, tn] = b
+            sent[(f, tn)] = b
+    valid = jnp.ones((13, 1, 8), bool)
+    att = jnp.zeros((13, 1, 8), jnp.float32)
+    dev = downlink_block(cfg, spec, state, jnp.asarray(bits), valid, att,
+                         jnp.asarray(0, jnp.int32))
+    assert dev.shape == (1, spec.block_in)
+
+    st, res = uplink_block(cfg, spec, state, dev)
+    det = np.asarray(res.detected)
+    soft = np.asarray(res.soft_bits)
+    missed = sum(0 if det[f, 0, tn] else 1 for (f, tn) in sent)
+    assert missed <= 2, f"missed {missed} bursts"  # stream-edge effects
+    bers = [np.mean((soft[f, 0, tn] > 0.5).astype(int) != b)
+            for (f, tn), b in sent.items() if det[f, 0, tn]]
+    assert np.mean(bers) < 0.01, f"duplex mean BER {np.mean(bers)}"
+
+
+def test_transceiver_wrapper_control_verbs():
+    trx = Transceiver(TrxConfig(n_chan=2))
+    trx.set_slot(0, 3, ChanType.VII)
+    trx.set_tsc(0, 5)
+    trx.set_max_delay(1, 4)
+    assert int(trx.state.chan_type[0, 3]) == ChanType.VII
+    assert int(trx.state.tsc[0]) == 5
+    assert int(trx.state.max_expected_delay[1]) == 4
+    frame = jnp.zeros((2, 8, 157), jnp.complex64)
+    res = trx.rx_frame(frame)
+    assert not np.asarray(res.detected).any()
+    assert int(trx.state.fn) == 1
