@@ -90,9 +90,9 @@ def syndrome_ok(data_and_parity: Array, spec=FIRECODE_XCCH) -> Array:
     """True where the [..., K+P] codeword (with *inverted* parity as
     transmitted) has zero syndrome (XCCHL1Decoder::decode,
     GSML1FEC.cpp:640-652: invert parity, then syndromeShift over d|p)."""
-    poly, p, n = spec
+    poly, p, _ = spec  # the spec's codeword-size field is metadata only
     data_and_parity = jnp.asarray(data_and_parity, jnp.uint8)
-    assert data_and_parity.shape[-1] == n
+    n = data_and_parity.shape[-1]
     fixed = data_and_parity.at[..., n - p :].set(
         data_and_parity[..., n - p :] ^ np.uint8(1))
     state = crc_state_run(fixed, poly, p, encoder=False)
