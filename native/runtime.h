@@ -1,0 +1,40 @@
+// Native runtime for the TPU transceiver: UDP datagram transport (the
+// three planes: data / control / clock) and a timestamped sample ring
+// buffer. C ABI for ctypes.
+//
+// Reference behavior: CommonLibs/Sockets.{h,cpp} (UDPSocket) and
+// Transceiver52M/USRPDevice.{h,cpp} (2^21-sample timestamped ring buffer
+// with 32->64-bit timestamp extension).
+#pragma once
+#include <cstdint>
+#include <cstddef>
+
+extern "C" {
+
+// ---- UDP datagram transport (UDPSocket, Sockets.h:128) ----------------
+// Returns a handle (>=0) or -1 on error.
+int udt_open(int local_port, const char *remote_host, int remote_port);
+// Send to the configured remote. Returns bytes sent or -1.
+int udt_send(int h, const void *buf, int len);
+// Blocking receive with timeout_ms (-1 = forever). Returns bytes, 0 on
+// timeout, -1 on error.
+int udt_recv(int h, void *buf, int maxlen, int timeout_ms);
+void udt_close(int h);
+
+// ---- timestamped complex-int16 sample ring (USRPDevice.h:68-88) -------
+// Samples are interleaved int16 I/Q pairs. Timestamps are in samples.
+typedef struct sample_ring sample_ring;
+sample_ring *ring_create(size_t capacity_samples);
+void ring_destroy(sample_ring *r);
+// Write n samples tagged with starting timestamp ts (must be
+// monotonically contiguous or a gap is zero-filled up to capacity).
+// Returns samples accepted.
+int64_t ring_write(sample_ring *r, const int16_t *iq, int64_t n, int64_t ts);
+// Read n samples starting at timestamp ts into out. Blocks nothing;
+// returns the number of valid samples copied (the rest zero-filled),
+// or -1 if ts is entirely in the future/past beyond capacity.
+int64_t ring_read(sample_ring *r, int16_t *iq_out, int64_t n, int64_t ts);
+// Highest timestamp written + 1 (i.e., next expected), -1 if empty.
+int64_t ring_end_ts(const sample_ring *r);
+int64_t ring_start_ts(const sample_ring *r);
+}

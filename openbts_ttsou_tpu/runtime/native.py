@@ -1,0 +1,137 @@
+"""ctypes bindings for the native C++ runtime (native/).
+
+The compute path is JAX/XLA; the runtime around it — datagram transport
+for the three planes and the timestamped sample ring — is native C++
+(like the reference's CommonLibs/Sockets + USRPDevice ring), loaded here
+via ctypes. The library is built on demand with `make`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtrx_runtime.so")
+_lib = None
+_lock = threading.Lock()
+
+
+def load_runtime() -> ctypes.CDLL:
+    """Load (building if needed) the native runtime library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.udt_open.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.udt_open.restype = ctypes.c_int
+        lib.udt_send.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.udt_send.restype = ctypes.c_int
+        lib.udt_recv.argtypes = [ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_int]
+        lib.udt_recv.restype = ctypes.c_int
+        lib.udt_close.argtypes = [ctypes.c_int]
+        lib.ring_create.argtypes = [ctypes.c_size_t]
+        lib.ring_create.restype = ctypes.c_void_p
+        lib.ring_destroy.argtypes = [ctypes.c_void_p]
+        for fn in ("ring_write", "ring_read"):
+            f = getattr(lib, fn)
+            f.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                          ctypes.c_int64]
+            f.restype = ctypes.c_int64
+        lib.ring_end_ts.argtypes = [ctypes.c_void_p]
+        lib.ring_end_ts.restype = ctypes.c_int64
+        lib.ring_start_ts.argtypes = [ctypes.c_void_p]
+        lib.ring_start_ts.restype = ctypes.c_int64
+        _lib = lib
+        return lib
+
+
+class UdpTransport:
+    """One plane of the TRX↔BTS protocol (UDPSocket equivalent,
+    CommonLibs/Sockets.h:128)."""
+
+    def __init__(self, local_port: int, remote_host: str = "127.0.0.1",
+                 remote_port: int = 0):
+        self._lib = load_runtime()
+        self._h = self._lib.udt_open(local_port, remote_host.encode(),
+                                     remote_port)
+        if self._h < 0:
+            raise OSError(f"udt_open failed on port {local_port}")
+
+    def send(self, data: bytes) -> int:
+        return self._lib.udt_send(self._h, data, len(data))
+
+    def recv(self, maxlen: int = 2048, timeout_ms: int = -1) -> bytes | None:
+        buf = ctypes.create_string_buffer(maxlen)
+        n = self._lib.udt_recv(self._h, buf, maxlen, timeout_ms)
+        if n <= 0:
+            return None
+        return buf.raw[:n]
+
+    def close(self):
+        if self._h >= 0:
+            self._lib.udt_close(self._h)
+            self._h = -1
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class SampleRing:
+    """Timestamped int16-I/Q ring (USRPDevice ring equivalent,
+    Transceiver52M/USRPDevice.h:68-88)."""
+
+    def __init__(self, capacity_samples: int = 1 << 21):
+        self._lib = load_runtime()
+        self._r = self._lib.ring_create(capacity_samples)
+
+    def write(self, iq: np.ndarray, ts: int) -> int:
+        """iq: int16 [n, 2] or complex64 [n] (scaled to int16)."""
+        iq = np.asarray(iq)
+        if np.iscomplexobj(iq):
+            iq = np.stack([iq.real, iq.imag], axis=-1).astype(np.int16)
+        iq = np.ascontiguousarray(iq, np.int16)
+        n = iq.shape[0]
+        return int(self._lib.ring_write(
+            self._r, iq.ctypes.data_as(ctypes.c_void_p), n, ts))
+
+    def read(self, n: int, ts: int) -> tuple[np.ndarray, int]:
+        out = np.zeros((n, 2), np.int16)
+        got = int(self._lib.ring_read(
+            self._r, out.ctypes.data_as(ctypes.c_void_p), n, ts))
+        return out, got
+
+    def read_complex(self, n: int, ts: int) -> np.ndarray:
+        out, _ = self.read(n, ts)
+        return (out[:, 0].astype(np.float32)
+                + 1j * out[:, 1].astype(np.float32)).astype(np.complex64)
+
+    @property
+    def end_ts(self) -> int:
+        return int(self._lib.ring_end_ts(self._r))
+
+    @property
+    def start_ts(self) -> int:
+        return int(self._lib.ring_start_ts(self._r))
+
+    def __del__(self):
+        try:
+            if self._r:
+                self._lib.ring_destroy(self._r)
+                self._r = None
+        except Exception:
+            pass

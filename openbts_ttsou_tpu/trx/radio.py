@@ -1,0 +1,95 @@
+"""Radio device abstraction: loopback and IQ-replay backends.
+
+The reference hides the RF hardware behind `USRPDevice`, with a
+compile-time `SWLOOPBACK` fake (Transceiver52M/USRPDevice.h:90-98) that
+replaces the USRP with a timestamped memory buffer. Here the radio is a
+runtime-pluggable object with the same contract: timestamped sample
+reads/writes at the device rate.
+
+`LoopbackRadio` wires Tx to Rx through the native timestamped sample
+ring (optionally with a delay and gain), so a full transceiver can run
+with no hardware — the moral equivalent of SWLOOPBACK.
+`ReplayRadio` plays a recorded IQ capture (BASELINE's "recorded IQ"
+parity path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Radio:
+    """Device contract (subset of USRPDevice's surface,
+    Transceiver52M/USRPDevice.h:50-88)."""
+
+    sample_rate: float = 1625e3 / 6.0
+
+    def start(self) -> bool:
+        return True
+
+    def stop(self) -> bool:
+        return True
+
+    def read_samples(self, n: int, ts: int) -> np.ndarray:
+        """complex64 [n] at timestamp ts."""
+        raise NotImplementedError
+
+    def write_samples(self, iq: np.ndarray, ts: int) -> int:
+        raise NotImplementedError
+
+    def set_tx_freq(self, freq: float) -> bool:
+        return True
+
+    def set_rx_freq(self, freq: float) -> bool:
+        return True
+
+
+class LoopbackRadio(Radio):
+    """Tx → (delay, gain, noise) → Rx through the native sample ring."""
+
+    def __init__(self, delay_samples: int = 0, gain: float = 1.0,
+                 noise_std: float = 0.0, capacity: int = 1 << 21,
+                 full_scale: float = 32000.0):
+        from openbts_ttsou_tpu.runtime import SampleRing
+
+        self.ring = SampleRing(capacity)
+        self.delay = delay_samples
+        self.gain = gain
+        self.noise_std = noise_std
+        self.full_scale = full_scale
+        self._rng = np.random.default_rng(0)
+
+    def write_samples(self, iq: np.ndarray, ts: int) -> int:
+        iq = np.asarray(iq, np.complex64) * self.gain
+        scaled = np.clip(np.stack([iq.real, iq.imag], -1), -32767, 32767)
+        return self.ring.write(scaled.astype(np.int16), ts + self.delay)
+
+    def read_samples(self, n: int, ts: int) -> np.ndarray:
+        out = self.ring.read_complex(n, ts)
+        if self.noise_std > 0:
+            noise = (self._rng.normal(0, self.noise_std, n)
+                     + 1j * self._rng.normal(0, self.noise_std, n))
+            out = out + noise.astype(np.complex64)
+        return out
+
+
+class ReplayRadio(Radio):
+    """Replay a recorded IQ capture; Tx is discarded (or captured)."""
+
+    def __init__(self, iq: np.ndarray, capture_tx: bool = False):
+        self.iq = np.asarray(iq, np.complex64)
+        self.tx_log: list[tuple[int, np.ndarray]] = []
+        self.capture_tx = capture_tx
+
+    def read_samples(self, n: int, ts: int) -> np.ndarray:
+        out = np.zeros(n, np.complex64)
+        lo = max(0, ts)
+        hi = min(len(self.iq), ts + n)
+        if hi > lo:
+            out[lo - ts: hi - ts] = self.iq[lo:hi]
+        return out
+
+    def write_samples(self, iq: np.ndarray, ts: int) -> int:
+        if self.capture_tx:
+            self.tx_log.append((ts, np.asarray(iq, np.complex64).copy()))
+        return len(iq)

@@ -1,0 +1,98 @@
+"""End-to-end daemon test: a fake BTS drives the transceiver daemon over
+the reference's UDP wire protocol with a loopback radio — the TPU
+equivalent of the reference's testRadio.cpp + SWLOOPBACK flow."""
+
+import numpy as np
+import pytest
+
+from openbts_ttsou_tpu.runtime import UdpTransport
+from openbts_ttsou_tpu.trx import protocol as proto
+from openbts_ttsou_tpu.trx.daemon import TrxDaemon, TrxDaemonConfig
+from openbts_ttsou_tpu.trx.engine import ChanType
+from openbts_ttsou_tpu.utils import constants as C
+
+BASE = 47700
+
+
+@pytest.fixture(scope="module")
+def rig():
+    daemon = TrxDaemon(
+        __import__("openbts_ttsou_tpu.trx.radio", fromlist=["LoopbackRadio"])
+        .LoopbackRadio(),
+        TrxDaemonConfig(base_port=BASE),
+    )
+    bts_clock = UdpTransport(BASE + 100, "127.0.0.1", BASE)
+    bts_ctrl = UdpTransport(BASE + 101, "127.0.0.1", BASE + 1)
+    bts_data = UdpTransport(BASE + 102, "127.0.0.1", BASE + 2)
+    yield daemon, bts_clock, bts_ctrl, bts_data
+    for s in (bts_clock, bts_ctrl, bts_data):
+        s.close()
+
+
+def _cmd(daemon, ctrl, verb, *args):
+    ctrl.send(proto.pack_command(verb, *args))
+    daemon.step()
+    resp = ctrl.recv(256, timeout_ms=2000)
+    assert resp is not None, f"no response to {verb}"
+    kind, rverb, rargs = proto.parse_message(resp)
+    assert kind == "RSP" and rverb == verb
+    return int(rargs[0]), rargs[1:]
+
+
+def test_bringup_sequence(rig):
+    daemon, bts_clock, bts_ctrl, _ = rig
+    # POWERON before tuning must fail (Transceiver.cpp:459-462)
+    status, _ = _cmd(daemon, bts_ctrl, "POWERON")
+    assert status == 1
+    status, args = _cmd(daemon, bts_ctrl, "RXTUNE", 890000)
+    assert status == 0
+    status, _ = _cmd(daemon, bts_ctrl, "TXTUNE", 935000)
+    assert status == 0
+    status, args = _cmd(daemon, bts_ctrl, "SETTSC", 2)
+    assert status == 0 and args == ["2"]
+    status, _ = _cmd(daemon, bts_ctrl, "SETSLOT", 0, 1)  # combination I
+    assert status == 0
+    status, _ = _cmd(daemon, bts_ctrl, "POWERON")
+    assert status == 0
+    assert daemon.on
+    # control activity triggered clock indications
+    msg = bts_clock.recv(64, timeout_ms=2000)
+    assert msg is not None
+    kind, verb, args = proto.parse_message(msg)
+    assert (kind, verb) == ("IND", "CLOCK")
+
+
+def test_downlink_burst_loops_back_to_uplink(rig):
+    daemon, _, bts_ctrl, bts_data = rig
+    assert daemon.on
+    tsc = int(daemon.state.tsc[0])
+    rng = np.random.default_rng(3)
+    bits = np.concatenate(
+        [[0, 0, 0], rng.integers(0, 2, 57), [1], C.TRAINING_SEQUENCE[tsc],
+         [1], rng.integers(0, 2, 57), [0, 0, 0]]).astype(np.uint8)
+    # schedule bursts on slot 0 a few frames ahead of the tx deadline
+    sent_fns = [daemon.tx_fn + k for k in range(1, 4)]
+    for fn in sent_fns:
+        bts_data.send(proto.pack_downlink(
+            proto.DownlinkBurst(0, fn, 0, bits)))
+    uplinks = []
+    for _ in range(8):
+        daemon.step()
+        while True:
+            msg = bts_data.recv(512, timeout_ms=200)
+            if msg is None:
+                break
+            uplinks.append(proto.unpack_uplink(msg))
+    got_fns = sorted(u.fn for u in uplinks if u.tn == 0)
+    # loopback radio has zero delay: tx at fn appears in rx frame fn
+    assert set(sent_fns) <= set(got_fns), (sent_fns, got_fns)
+    u = next(u for u in uplinks if u.fn == sent_fns[0])
+    ber = np.mean((u.soft > 0.5).astype(int) != bits)
+    assert ber < 0.02, f"daemon loopback BER {ber}"
+
+
+def test_poweroff(rig):
+    daemon, _, bts_ctrl, _ = rig
+    status, _ = _cmd(daemon, bts_ctrl, "POWEROFF")
+    assert status == 0
+    assert not daemon.on

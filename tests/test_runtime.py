@@ -1,0 +1,87 @@
+import numpy as np
+import pytest
+
+from openbts_ttsou_tpu.runtime import SampleRing, UdpTransport
+from openbts_ttsou_tpu.trx import protocol as proto
+
+
+def test_native_lib_builds_and_loads():
+    from openbts_ttsou_tpu.runtime import load_runtime
+
+    lib = load_runtime()
+    assert lib is not None
+
+
+def test_sample_ring_round_trip():
+    ring = SampleRing(1 << 12)
+    iq = np.arange(100, dtype=np.int16).reshape(50, 2)
+    assert ring.write(iq, 1000) == 50
+    out, got = ring.read(50, 1000)
+    assert got == 50
+    np.testing.assert_array_equal(out, iq)
+    assert ring.end_ts == 1050
+
+
+def test_sample_ring_gap_zero_fill():
+    ring = SampleRing(1 << 12)
+    ring.write(np.ones((10, 2), np.int16), 0)
+    ring.write(np.ones((10, 2), np.int16) * 2, 30)  # gap 10..29
+    out, got = ring.read(40, 0)
+    assert got == 40
+    np.testing.assert_array_equal(out[:10], 1)
+    np.testing.assert_array_equal(out[10:30], 0)
+    np.testing.assert_array_equal(out[30:], 2)
+
+
+def test_sample_ring_complex_and_stale():
+    ring = SampleRing(256)
+    x = (np.arange(64) + 1j * np.arange(64)).astype(np.complex64)
+    ring.write(x, 0)
+    back = ring.read_complex(64, 0)
+    np.testing.assert_allclose(back, x.astype(np.complex64))
+    # entirely-future read → -1
+    _, got = ring.read(16, 10_000)
+    assert got == -1
+
+
+def test_udp_transport_round_trip():
+    a = UdpTransport(45710, "127.0.0.1", 45711)
+    b = UdpTransport(45711, "127.0.0.1", 45710)
+    try:
+        a.send(b"hello plane")
+        msg = b.recv(64, timeout_ms=2000)
+        assert msg == b"hello plane"
+        b.send(b"pong")
+        assert a.recv(64, timeout_ms=2000) == b"pong"
+        assert a.recv(64, timeout_ms=50) is None  # timeout
+    finally:
+        a.close()
+        b.close()
+
+
+def test_wire_format_round_trips():
+    d = proto.DownlinkBurst(3, 123456, 5,
+                            np.random.default_rng(0).integers(0, 2, 148)
+                            .astype(np.uint8))
+    blob = proto.pack_downlink(d)
+    assert len(blob) == proto.DOWNLINK_LEN
+    d2 = proto.unpack_downlink(blob)
+    assert (d2.tn, d2.fn, d2.gain) == (3, 123456, 5)
+    np.testing.assert_array_equal(d2.bits, d.bits)
+
+    u = proto.UplinkBurst(7, 99, 40, -512,
+                          np.linspace(0, 1, 148).astype(np.float32))
+    blob = proto.pack_uplink(u)
+    assert len(blob) == proto.UPLINK_LEN
+    u2 = proto.unpack_uplink(blob)
+    assert (u2.tn, u2.fn, u2.rssi, u2.toa) == (7, 99, 40, -512)
+    np.testing.assert_allclose(u2.soft, u.soft, atol=1 / 255.0)
+
+
+def test_control_messages():
+    assert proto.pack_command("SETSLOT", 2, 1) == b"CMD SETSLOT 2 1\x00"
+    kind, verb, args = proto.parse_message(b"CMD RXTUNE 890000\x00")
+    assert (kind, verb, args) == ("CMD", "RXTUNE", ["890000"])
+    assert proto.pack_response("RXTUNE", 0, 890000) == \
+        b"RSP RXTUNE 0 890000\x00"
+    assert proto.pack_clock(42) == b"IND CLOCK 42\x00"
