@@ -81,6 +81,26 @@ def modulate_burst(bits: Array, sps: int, guard_len: int = 0,
     return fir.convolve(rot, jnp.asarray(pulse), fir.NO_DELAY, b_real=True)
 
 
+def modulate_burst_np(bits: np.ndarray, sps: int,
+                      guard_len: int = 0) -> np.ndarray:
+    """Pure-NumPy modulator for trace-time/setup constants (e.g. the
+    filler table) — same math as `modulate_burst` without touching the
+    device."""
+    bits = np.asarray(bits)
+    n = bits.shape[-1]
+    total = sps * (n + guard_len)
+    x = np.zeros(bits.shape[:-1] + (total,), np.complex128)
+    x[..., : n * sps : sps] = 2.0 * bits - 1.0
+    x = x * rotation(total, sps)
+    pulse = gsm_pulse(sps).astype(np.float64)
+    start = len(pulse) // 2 if len(pulse) % 2 else len(pulse) // 2 - 1
+    out = np.empty_like(x)
+    for idx in np.ndindex(x.shape[:-1]):
+        full = np.convolve(x[idx], pulse)
+        out[idx] = full[start : start + total]
+    return out.astype(np.complex64)
+
+
 def vector_slicer(x: Array) -> Array:
     """Soft-output slicer: clamp(0.5·(Re{x}+1), 0, 1)
     (vectorSlicer, sigProcLib.cpp:507-519)."""

@@ -119,8 +119,8 @@ def init_state(cfg: TrxConfig) -> TrxState:
     dummy = np.zeros((8, SLOT_SAMPLES * sps), np.complex64)
     for tn in range(8):
         guard = 8 + (1 if tn % 4 == 0 else 0)
-        mod = np.asarray(gmsk.modulate_burst(C.DUMMY_BURST[None], sps,
-                                             guard_len=guard))[0]
+        mod = gmsk.modulate_burst_np(C.DUMMY_BURST[None], sps,
+                                     guard_len=guard)[0]
         dummy[tn, : len(mod)] = mod * cfg.tx_full_scale
     return TrxState(
         fn=jnp.asarray(0, jnp.int32),
