@@ -47,6 +47,14 @@ def main():
     baseline_sps = measure_cpu_baseline()
 
     import jax
+
+    # Persistent compilation cache: the first TPU compile of the full
+    # pipeline is expensive (slow host + relay); later runs reuse it.
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from openbts_ttsou_tpu.models.transceiver import UplinkSpec, uplink_block

@@ -66,13 +66,15 @@ def _real_conv_full(a: Array, b: Array) -> Array:
             precision=lax.Precision.HIGHEST,
         )
         return out[:, 0, :]
-    # Per-batch filters: depthwise (grouped) convolution.
-    out = lax.conv_general_dilated(
-        a[None, :, :], bk[:, None, :], (1,), pad,
-        feature_group_count=B,
-        precision=lax.Precision.HIGHEST,
-    )
-    return out[0]
+    # Per-batch filters: window-gather + batched contraction. A grouped
+    # convolution with thousands of groups lowers poorly on TPU; the
+    # gathered [B, T_out, Lb] einsum maps straight onto the MXU.
+    t_out = La + Lb - 1
+    ap = jnp.pad(a, ((0, 0), (Lb - 1, Lb - 1)))
+    idx = np.arange(t_out)[:, None] + np.arange(Lb)[None, :]
+    wins = ap[:, jnp.asarray(idx)]  # [B, T_out, Lb]
+    return jnp.einsum("btj,bj->bt", wins, bk,
+                      precision=lax.Precision.HIGHEST)
 
 
 def conv_full_complex(a: Array, b: Array, *, a_real: bool = False,
@@ -204,15 +206,99 @@ def polyphase_output_len(in_len: int, p: int, q: int) -> int:
     return -(-in_len * p // q)
 
 
+@functools.lru_cache(maxsize=None)
+def _polyphase_plan(p: int, q: int, taps: int):
+    """Static per-(P,Q,filter) geometry for the matmul-form resampler.
+
+    Output i corresponds to full-conv index j=(i0+i)·q with branch
+    j mod p and input offset j//p. Outputs sharing i mod p share a
+    branch and advance q input samples per step — so the whole resampler
+    is ONE strided convolution with p output channels (the polyphase
+    branches as a [p, K'] filter bank) followed by a phase interleave.
+    This keeps the MXU fed with dense work (≈taps/p MACs per output)
+    instead of convolving through the zero-stuffed upsampled signal.
+    """
+    i0 = (taps - 1) // 2 // q
+    r = np.arange(p)
+    j = (i0 + r) * q
+    branch = j % p
+    off = j // p
+    k_max = -(-taps // p)  # ceil: taps per branch
+    min_off = int(off.min())
+    delta = off - min_off
+    k_prime = k_max + int(delta.max())
+    pad_left = (k_max - 1) - min_off
+    return i0, branch, delta, k_max, k_prime, pad_left
+
+
+def _polyphase_filter_bank(p: int, q: int, lpf: np.ndarray) -> np.ndarray:
+    """rhs [p, 1, K'] float32 for the strided conv (see _polyphase_plan)."""
+    taps = len(lpf)
+    _, branch, delta, k_max, k_prime, _ = _polyphase_plan(p, q, taps)
+    rhs = np.zeros((p, 1, k_prime), np.float32)
+    lpf = np.asarray(lpf, np.float32)
+    for r in range(p):
+        for t in range(k_max):
+            h_idx = branch[r] + t * p
+            if h_idx < taps:
+                rhs[r, 0, (k_max - 1) + delta[r] - t] = lpf[h_idx]
+    return rhs
+
+
+def polyphase_resample_mm(x: Array, p: int, q: int, lpf: Array, *,
+                          x_real: bool = False) -> Array:
+    """Matmul-form P/Q resampler: identical output to
+    `polyphase_resample`, computed as one p-output-channel strided
+    convolution (the TPU-native polyphase formulation)."""
+    x2, lead = _as_2d(jnp.asarray(x))
+    lpf_np = np.asarray(lpf)
+    taps = lpf_np.shape[-1]
+    T = x2.shape[-1]
+    n_out = polyphase_output_len(T, p, q)
+    _, _, _, k_max, k_prime, pad_left = _polyphase_plan(p, q, taps)
+    m_cycles = -(-n_out // p)
+    # required right padding so the conv yields m_cycles windows
+    need = (m_cycles - 1) * q + k_prime
+    pad_right = max(0, need - pad_left - T)
+    rhs = jnp.asarray(_polyphase_filter_bank(p, q, lpf_np))
+
+    def _plane(xr):
+        out = lax.conv_general_dilated(
+            xr[:, None, :], rhs, window_strides=(q,),
+            padding=[(pad_left, pad_right)],
+            precision=lax.Precision.HIGHEST,
+        )  # [B, p, M]
+        out = out[:, :, :m_cycles]
+        # interleave phases: out[i = m·p + r] = out[r, m]
+        return jnp.transpose(out, (0, 2, 1)).reshape(out.shape[0], -1)[
+            :, :n_out]
+
+    re = _plane(jnp.real(x2).astype(jnp.float32))
+    if x_real:
+        res = re.astype(jnp.complex64)
+    else:
+        im = _plane(jnp.imag(x2).astype(jnp.float32))
+        res = (re + 1j * im).astype(jnp.complex64)
+    return res.reshape(lead + (n_out,))
+
+
 def polyphase_resample(x: Array, p: int, q: int, lpf: Array, *,
-                       x_real: bool = False) -> Array:
+                       x_real: bool = False,
+                       method: str = "mm") -> Array:
     """P/Q rational resampling with group-delay compensation.
 
     x: [..., T]. Returns [..., ceil(T*P/Q)] complex64. Matches the
     reference's branch indexing (sigProcLib.cpp:1177-1205): output i is
     the full convolution of the P-zero-stuffed input with the LPF,
     sampled at index (i0 + i)*Q where i0 = (len(lpf)-1)//(2*Q).
+
+    method "mm" (default) uses the dense polyphase filter-bank
+    formulation (`polyphase_resample_mm`); "dilated" keeps the direct
+    zero-stuffed dilated convolution (reference formulation, used for
+    cross-checking).
     """
+    if method == "mm":
+        return polyphase_resample_mm(x, p, q, lpf, x_real=x_real)
     x2, lead = _as_2d(jnp.asarray(x))
     lpf = jnp.asarray(lpf)
     Lh = lpf.shape[-1]
