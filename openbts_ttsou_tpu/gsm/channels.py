@@ -121,8 +121,9 @@ class XCCHL1(L1Channel):
     (XCCHL1Encoder/Decoder, GSML1FEC.cpp:530-860)."""
 
     def __init__(self, tn: int, downlink: tdma.TDMAMapping,
-                 uplink: tdma.TDMAMapping):
+                 uplink: tdma.TDMAMapping, tsc: int | None = None):
         super().__init__(tn, downlink, uplink)
+        self.tsc = tsc  # TSC hardcoded to the BCC (GSML1FEC.cpp:726)
         self.upstream: Optional[SAPMux] = None
         self._rx_bursts: List[Optional[np.ndarray]] = [None] * 4
 
@@ -130,7 +131,8 @@ class XCCHL1(L1Channel):
     def send_l2(self, frame: L2Frame) -> None:
         """L2 frame → FEC → 4 bursts queued (sendFrame + transmit)."""
         bits = np.asarray(l1fec.lsb8msb(frame.bits))
-        bursts = np.asarray(l1fec.xcch_encode(bits[None]))[0]  # [4, 148]
+        bursts = np.asarray(
+            l1fec.xcch_encode(bits[None], tsc=self.tsc))[0]  # [4, 148]
         self.next_write_fn = self._schedule(bursts, self.next_write_fn)
 
     # -- uplink --------------------------------------------------------
@@ -228,8 +230,8 @@ class TCHFACCHL1(XCCHL1):
     flags (TCHFACCHL1Encoder/Decoder, GSML1FEC.cpp:998-1405)."""
 
     def __init__(self, tn: int, downlink: tdma.TDMAMapping,
-                 uplink: tdma.TDMAMapping):
-        super().__init__(tn, downlink, uplink)
+                 uplink: tdma.TDMAMapping, tsc: int | None = None):
+        super().__init__(tn, downlink, uplink, tsc)
         self.speech_out: Deque[np.ndarray] = collections.deque()  # rx voice
         self.speech_in: Deque[np.ndarray] = collections.deque()  # tx voice
         self._facch_q: Deque[L2Frame] = collections.deque()
@@ -277,7 +279,8 @@ class TCHFACCHL1(XCCHL1):
             half = i[b + self._offset]
             burst = np.asarray(fec.map_to_burst(
                 half[None],
-                stealing=(int(self._prev_facch), int(current_facch))))[0]
+                stealing=(int(self._prev_facch), int(current_facch)),
+                tsc=self.tsc))[0]
             fn = self.downlink.next_write_time(fn)
             self.tx_queue.append(TxBurst(burst, fn, self.tn))
             fn += 1

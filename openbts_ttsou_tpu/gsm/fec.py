@@ -268,15 +268,23 @@ def deinterleave(i: Array, imap: np.ndarray) -> Array:
 # Burst mapping (GSM 05.02 5.2.3; GSML1FEC.cpp:823-849 / 550-614)
 # ---------------------------------------------------------------------------
 
-def map_to_burst(i_frame: Array, stealing: tuple[int, int] = (1, 1)) -> Array:
-    """114 interleaved bits → 148-bit normal burst payload: bits 3..59 and
-    88..144, stealing flags at 60/87, tails zero. i_frame: [..., 114]."""
+def map_to_burst(i_frame: Array, stealing: tuple[int, int] = (1, 1),
+                 tsc: int | None = None) -> Array:
+    """114 interleaved bits → 148-bit normal burst: bits 3..59 and
+    88..144, stealing flags Hl/Hu at 60/87, training sequence at 61..86
+    when `tsc` is given (the encoder hardcodes TSC=BCC,
+    GSML1FEC.cpp:723-726), tails zero. i_frame: [..., 114]."""
+    from openbts_ttsou_tpu.utils import constants as C
+
     i_frame = jnp.asarray(i_frame, jnp.uint8)
     out = jnp.zeros(i_frame.shape[:-1] + (148,), jnp.uint8)
     out = out.at[..., 3:60].set(i_frame[..., :57])
     out = out.at[..., 88:145].set(i_frame[..., 57:])
     out = out.at[..., 60].set(stealing[0])
     out = out.at[..., 87].set(stealing[1])
+    if tsc is not None:
+        out = out.at[..., 61:87].set(
+            jnp.asarray(C.TRAINING_SEQUENCE[tsc], jnp.uint8))
     return out
 
 

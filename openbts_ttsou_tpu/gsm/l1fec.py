@@ -59,7 +59,8 @@ def unpack_field(bits: Array, pos: int, width: int) -> Array:
 # ---------------------------------------------------------------------------
 
 def xcch_encode(frames: Array,
-                stealing: tuple[int, int] = (1, 1)) -> Array:
+                stealing: tuple[int, int] = (1, 1),
+                tsc: int | None = None) -> Array:
     """184-bit L1 frame → 4 bursts [..., 4, 148]
     (XCCHL1Encoder::encode + interleave + transmit,
     GSML1FEC.cpp:795-849). Input must already be in air bit order
@@ -70,7 +71,7 @@ def xcch_encode(frames: Array,
     u = jnp.concatenate([frames, p, tail], axis=-1)  # [..., 228]
     c = fec.conv_encode(u)  # [..., 456]
     i = fec.interleave(c, fec.xcch_interleave_map(), 4)
-    return fec.map_to_burst(i, stealing)
+    return fec.map_to_burst(i, stealing, tsc=tsc)
 
 
 def xcch_decode(soft_bursts: Array) -> tuple[Array, Array]:
