@@ -1,0 +1,405 @@
+"""GSM 04.08 control procedures: access grant, MM, CC, SMS.
+
+Reference behavior: `Control/` — `AccessGrantResponder`
+(RadioResource.cpp:118: RACH → immediate assignment with T3122 load
+shedding), `PagingResponseHandler` (:221), `DCCHDispatcher`
+(DCCHDispatch.cpp:103: first L3 message routes the channel),
+`LocationUpdatingController` (MobilityManagement.cpp:131),
+`CMServiceResponder` (:52), `IMSIDetachController` (:81), the MOC/MTC
+call FSMs (CallControl.cpp:565-1185), and `MOSMSController`/
+`deliverSMSToMS` (SMSControl.cpp:301,425).
+
+The reference blocks per-channel threads on `getMessage()`; here each
+procedure is an event-driven handler invoked by the BTS loop with
+decoded L3 messages, advancing per-transaction state. SIP activity runs
+through `sip.SIPEngine` objects attached to transactions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from openbts_ttsou_tpu.control.common import (
+    Q931CallState,
+    ServiceType,
+    TMSITable,
+    TransactionEntry,
+    TransactionTable,
+)
+from openbts_ttsou_tpu.control.hlr import HLR, LocalHLR
+from openbts_ttsou_tpu.gsm.btsconfig import BTSConfig
+from openbts_ttsou_tpu.gsm.l3 import cc, common, mm, parse_l3, rr
+from openbts_ttsou_tpu.gsm.l3.common import MID_IMSI, MID_TMSI, MobileIdentity
+from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+from openbts_ttsou_tpu.sip.engine import SIPEngine, SIPState
+from openbts_ttsou_tpu.sms import messages as sms
+from openbts_ttsou_tpu.utils.gsm_time import Time
+from openbts_ttsou_tpu.utils.logger import get_logger
+
+log = get_logger("control")
+
+
+class ControlLayer:
+    """The Control/ subsystem: shared state + procedure handlers."""
+
+    def __init__(self, bts: BTSConfig, hlr: Optional[HLR] = None,
+                 sip_send: Optional[Callable[[bytes], None]] = None,
+                 sip_host: str = "127.0.0.1", sip_port: int = 5060,
+                 local_host: str = "127.0.0.1", local_port: int = 5062):
+        self.bts = bts
+        self.hlr = hlr or LocalHLR()
+        self.transactions = TransactionTable()
+        self.tmsis = TMSITable()
+        self.sip_send = sip_send or (lambda data: None)
+        self.sip_host = sip_host
+        self.sip_port = sip_port
+        self.local_host = local_host
+        self.local_port = local_port
+        # per dedicated channel: the current owning transaction
+        self.channel_transactions: Dict[int, int] = {}
+
+    def _new_engine(self, username: str) -> SIPEngine:
+        return SIPEngine(username, self.local_host, self.local_port,
+                         self.sip_host, self.sip_port, self.sip_send)
+
+    # ------------------------------------------------------------------
+    # Random access (AccessGrantResponder, RadioResource.cpp:118)
+    # ------------------------------------------------------------------
+    def handle_rach(self, ra: int, when: Time, rssi: float,
+                    timing_error: float):
+        """RACH → channel allocation → immediate assignment on AGCH.
+        Returns the allocated channel or None."""
+        # load shedding: no SDCCH → ImmediateAssignmentReject with T3122
+        channel = self.bts.get_sdcch()
+        if channel is None:
+            self.bts.grow_t3122()
+            msg = rr.ImmediateAssignmentReject(
+                rr.RequestReference.from_fn(ra, when.FN()),
+                t3122=self.bts.t3122())
+            self.bts.send_agch(L3Frame(msg.encode(), Primitive.UNIT_DATA))
+            log.warning("congestion: rejecting RA=%d T3122=%d", ra,
+                        self.bts.t3122())
+            return None
+        self.bts.shrink_t3122()
+        sub = getattr(channel.l1, "subchannel", 0)
+        desc = rr.ChannelDescription(
+            type_and_offset=8 + sub,  # SDCCH/8 + subchannel
+            tn=channel.l1.tn, tsc=self.bts.bcc, arfcn=self.bts.arfcn)
+        ta = max(0, min(63, int(round(timing_error))))
+        msg = rr.ImmediateAssignment(
+            desc, rr.RequestReference.from_fn(ra, when.FN()),
+            timing_advance=ta)
+        self.bts.send_agch(L3Frame(msg.encode(), Primitive.UNIT_DATA))
+        channel.open(when.FN())
+        return channel
+
+    # ------------------------------------------------------------------
+    # DCCH dispatch (DCCHDispatch.cpp:103)
+    # ------------------------------------------------------------------
+    def dispatch_l3(self, channel, l3_bits: np.ndarray) -> None:
+        """Route a decoded uplink L3 message to its procedure."""
+        msg = parse_l3(l3_bits)
+        if msg is None:
+            log.info("undecodable L3 on channel %s", id(channel))
+            return
+        handler = {
+            mm.LocationUpdatingRequest: self.location_updating,
+            mm.CMServiceRequest: self.cm_service,
+            mm.IMSIDetachIndication: self.imsi_detach,
+            mm.IdentityResponse: self.identity_response,
+            rr.PagingResponse: self.paging_response,
+            cc.Setup: self.moc_setup,
+            cc.Alerting: self.cc_forward,
+            cc.Connect: self.mtc_connect,
+            cc.ConnectAcknowledge: self.cc_forward,
+            cc.Disconnect: self.cc_disconnect,
+            cc.Release: self.cc_release,
+            cc.ReleaseComplete: self.cc_release_complete,
+        }.get(type(msg))
+        if handler is None:
+            log.info("unhandled L3 %s", type(msg).__name__)
+            return
+        handler(channel, msg)
+
+    def _transaction_for(self, channel) -> Optional[TransactionEntry]:
+        tid = self.channel_transactions.get(id(channel))
+        return self.transactions.find(tid) if tid else None
+
+    def _bind(self, channel, t: TransactionEntry) -> None:
+        self.channel_transactions[id(channel)] = t.id
+
+    def _imsi_of(self, identity: MobileIdentity) -> Optional[str]:
+        if identity.kind == MID_IMSI:
+            return identity.digits
+        if identity.kind == MID_TMSI:
+            return self.tmsis.imsi(identity.tmsi)
+        return None
+
+    def _release_channel(self, channel, cause: int = 0) -> None:
+        channel.send(L3Frame(rr.ChannelRelease(cause).encode(),
+                             Primitive.DATA))
+        self.channel_transactions.pop(id(channel), None)
+        self.bts.release(channel)
+
+    # ------------------------------------------------------------------
+    # Mobility management
+    # ------------------------------------------------------------------
+    def location_updating(self, channel, msg: mm.LocationUpdatingRequest):
+        """LUR → SIP REGISTER → accept with TMSI, or reject
+        (LocationUpdatingController, MobilityManagement.cpp:131)."""
+        imsi = self._imsi_of(msg.identity)
+        if imsi is None:
+            # unknown TMSI: ask for the IMSI (simplified query flow)
+            channel.send(L3Frame(mm.IdentityRequest(id_type=1).encode(),
+                                 Primitive.DATA))
+            t = self.transactions.new(ServiceType.LocationUpdate)
+            self._bind(channel, t)
+            return
+        t = self.transactions.new(ServiceType.LocationUpdate, imsi=imsi)
+        self._bind(channel, t)
+        engine = self._new_engine(f"IMSI{imsi}")
+        t.sip = engine
+        engine.register()
+        # acceptance is completed by on_sip_response (REGISTER 200)
+
+    def identity_response(self, channel, msg: mm.IdentityResponse):
+        t = self._transaction_for(channel)
+        imsi = self._imsi_of(msg.identity)
+        if t is None or imsi is None:
+            self._release_channel(channel)
+            return
+        t.imsi = imsi
+        engine = self._new_engine(f"IMSI{imsi}")
+        t.sip = engine
+        engine.register()
+
+    def complete_location_update(self, channel, t: TransactionEntry,
+                                 accepted: bool):
+        if not accepted:
+            channel.send(L3Frame(
+                mm.LocationUpdatingReject(cause=0x04).encode(),
+                Primitive.DATA))
+        else:
+            tmsi = self.tmsis.assign(t.imsi)
+            channel.send(L3Frame(mm.LocationUpdatingAccept(
+                self.bts.lai(),
+                MobileIdentity.from_tmsi(tmsi)).encode(), Primitive.DATA))
+        self.transactions.remove(t.id)
+        self._release_channel(channel)
+
+    def imsi_detach(self, channel, msg: mm.IMSIDetachIndication):
+        """IMSIDetachController (MobilityManagement.cpp:81)."""
+        imsi = self._imsi_of(msg.identity)
+        if imsi:
+            engine = self._new_engine(f"IMSI{imsi}")
+            engine.unregister()
+        self._release_channel(channel)
+
+    def cm_service(self, channel, msg: mm.CMServiceRequest):
+        """CMServiceResponder (MobilityManagement.cpp:52)."""
+        imsi = self._imsi_of(msg.identity)
+        if imsi is None:
+            channel.send(L3Frame(mm.CMServiceReject(cause=0x04).encode(),
+                                 Primitive.DATA))
+            self._release_channel(channel)
+            return
+        service = {1: ServiceType.MobileOriginatedCall,
+                   4: ServiceType.MobileOriginatedSMS,
+                   8: ServiceType.EmergencyCall}.get(
+            msg.service_type, ServiceType.MobileOriginatedCall)
+        t = self.transactions.new(service, imsi=imsi)
+        self._bind(channel, t)
+        channel.send(L3Frame(mm.CMServiceAccept().encode(), Primitive.DATA))
+
+    # ------------------------------------------------------------------
+    # Mobile-originated call (MOCStarter/MOCController,
+    # CallControl.cpp:565-820)
+    # ------------------------------------------------------------------
+    def moc_setup(self, channel, msg: cc.Setup):
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        t.ti_flag, t.ti_value = 1, msg.ti & 0x7
+        t.called = msg.called.digits if msg.called else ""
+        t.set_state(Q931CallState.MOCInitiated)
+        proceeding = cc.CallProceeding()
+        proceeding.ti = (1 << 3) | t.ti_value  # TI flag flipped downlink
+        channel.send(L3Frame(proceeding.encode(), Primitive.DATA))
+        engine = self._new_engine(f"IMSI{t.imsi}")
+        t.sip = engine
+        engine.moc_send_invite(t.called)
+        t.set_state(Q931CallState.MOCProceeding)
+
+    def cc_forward(self, channel, msg):
+        pass  # Alerting/ConnectAck uplink need no action in this subset
+
+    def mtc_connect(self, channel, msg: cc.Connect):
+        """MS answered an MT call (MTCController,
+        CallControl.cpp:911)."""
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        if t.sip is not None:
+            t.sip.mtc_send_ok()
+        ack = cc.ConnectAcknowledge()
+        ack.ti = (1 << 3) | t.ti_value
+        channel.send(L3Frame(ack.encode(), Primitive.DATA))
+        t.set_state(Q931CallState.Active)
+
+    def cc_disconnect(self, channel, msg: cc.Disconnect):
+        t = self._transaction_for(channel)
+        rel = cc.Release()
+        rel.ti = (1 << 3) | (t.ti_value if t else 0)
+        channel.send(L3Frame(rel.encode(), Primitive.DATA))
+        if t and t.sip is not None:
+            t.sip.mod_send_bye()
+            t.set_state(Q931CallState.ReleaseRequest)
+
+    def cc_release(self, channel, msg: cc.Release):
+        t = self._transaction_for(channel)
+        rc = cc.ReleaseComplete()
+        rc.ti = (1 << 3) | (t.ti_value if t else 0)
+        channel.send(L3Frame(rc.encode(), Primitive.DATA))
+        self._finish_call(channel, t)
+
+    def cc_release_complete(self, channel, msg: cc.ReleaseComplete):
+        self._finish_call(channel, self._transaction_for(channel))
+
+    def _finish_call(self, channel, t: Optional[TransactionEntry]):
+        if t:
+            if t.sip is not None:
+                t.sip.close()
+            self.transactions.remove(t.id)
+        self._release_channel(channel)
+
+    # ------------------------------------------------------------------
+    # Mobile-terminated: paging + response (RadioResource.cpp:221)
+    # ------------------------------------------------------------------
+    def initiate_mtc(self, imsi: str, calling: str = "") -> TransactionEntry:
+        """SIP INVITE arrived for `imsi` (initiateMTTransaction)."""
+        t = self.transactions.new(ServiceType.MobileTerminatedCall,
+                                  imsi=imsi, calling=calling)
+        t.set_state(Q931CallState.Paging)
+        tmsi = self.tmsis.tmsi(imsi)
+        identity = (MobileIdentity.from_tmsi(tmsi) if tmsi is not None
+                    else MobileIdentity.imsi(imsi))
+        self.bts.pager.add(identity, transaction_id=t.id)
+        return t
+
+    def page_tick(self) -> None:
+        """Emit pending paging requests on the PCH
+        (Pager::serviceLoop)."""
+        batch = self.bts.pager.page_batch(2)
+        if not batch:
+            return
+        msg = rr.PagingRequestType1(batch[0],
+                                    batch[1] if len(batch) > 1 else None)
+        self.bts.send_pch(L3Frame(msg.encode(), Primitive.UNIT_DATA))
+
+    def paging_response(self, channel, msg: rr.PagingResponse):
+        """PagingResponseHandler (RadioResource.cpp:221)."""
+        imsi = self._imsi_of(msg.identity)
+        t = self.transactions.find_by_imsi(imsi) if imsi else None
+        if t is None:
+            self._release_channel(channel)
+            return
+        self.bts.pager.remove(msg.identity)
+        self._bind(channel, t)
+        if t.service == ServiceType.MobileTerminatedCall:
+            setup = cc.Setup(cc.CalledPartyBCDNumber(t.calling)
+                             if t.calling else None)
+            setup.ti = 0 << 3 | t.ti_value  # network-originated TI
+            channel.send(L3Frame(setup.encode(), Primitive.DATA))
+            t.set_state(Q931CallState.CallPresent)
+            if t.sip is not None:
+                t.sip.mtc_send_trying()
+                t.sip.mtc_send_ringing()
+        elif t.service == ServiceType.MobileTerminatedSMS:
+            self.deliver_sms(channel, t)
+
+    # ------------------------------------------------------------------
+    # SMS (SMSControl.cpp:301,425)
+    # ------------------------------------------------------------------
+    def handle_sms_cpdata(self, channel, cp_bytes: bytes):
+        """MO-SMS: CP-DATA(RP-DATA(TL-SUBMIT)) → SIP MESSAGE
+        (MOSMSController)."""
+        t = self._transaction_for(channel)
+        cp = sms.parse_cp(cp_bytes)
+        if not isinstance(cp, sms.CPData):
+            return
+        channel.send_raw_sms(sms.CPAck(ti=cp.ti).encode()) if hasattr(
+            channel, "send_raw_sms") else None
+        rp = sms.parse_rp(cp.rpdu)
+        if not isinstance(rp, sms.RPData):
+            return
+        tl = sms.TLSubmit.parse(rp.tpdu)
+        imsi = t.imsi if t else ""
+        engine = self._new_engine(f"IMSI{imsi}")
+        if t:
+            t.sip = engine
+            t.message = tl.text
+        engine.mosms_send_message(tl.dest, tl.text)
+        # RP-ACK goes back after the SIP 200 (on_sip_response)
+
+    def initiate_mtsms(self, imsi: str, sender: str,
+                       text: str) -> TransactionEntry:
+        t = self.transactions.new(ServiceType.MobileTerminatedSMS,
+                                  imsi=imsi, calling=sender, message=text)
+        tmsi = self.tmsis.tmsi(imsi)
+        identity = (MobileIdentity.from_tmsi(tmsi) if tmsi is not None
+                    else MobileIdentity.imsi(imsi))
+        self.bts.pager.add(identity, transaction_id=t.id)
+        return t
+
+    def deliver_sms(self, channel, t: TransactionEntry):
+        """MT-SMS delivery over SAPI 3 (deliverSMSToMS,
+        SMSControl.cpp:425)."""
+        tl = sms.TLDeliver(orig=t.calling, text=t.message)
+        rp = sms.RPData(reference=1, tpdu=tl.encode(), mo=False)
+        cp = sms.CPData(ti=t.ti_value, rpdu=rp.encode())
+        bits = np.unpackbits(np.frombuffer(cp.encode(), np.uint8))
+        channel.send(L3Frame(bits, Primitive.DATA), sapi=3)
+        t.set_state(Q931CallState.SMSDelivering)
+
+    # ------------------------------------------------------------------
+    # SIP events
+    # ------------------------------------------------------------------
+    def on_sip_response(self, t: TransactionEntry, channel,
+                        sip_msg) -> None:
+        """Advance a transaction on an inbound SIP message
+        (MOCController / MOSMS wait loops)."""
+        if t.sip is None:
+            return
+        state = t.sip.receive(sip_msg)
+        if t.service == ServiceType.LocationUpdate:
+            if state == SIPState.Cleared:
+                self.complete_location_update(channel, t, True)
+            elif state == SIPState.Fail:
+                self.complete_location_update(channel, t, False)
+        elif t.service == ServiceType.MobileOriginatedCall:
+            if state == SIPState.Ringing and \
+                    t.state != Q931CallState.CallReceived:
+                alert = cc.Alerting()
+                alert.ti = (1 << 3) | t.ti_value
+                channel.send(L3Frame(alert.encode(), Primitive.DATA))
+                t.set_state(Q931CallState.CallReceived)
+            elif state == SIPState.Connecting:
+                t.sip.moc_send_ack()
+                conn = cc.Connect()
+                conn.ti = (1 << 3) | t.ti_value
+                channel.send(L3Frame(conn.encode(), Primitive.DATA))
+                t.set_state(Q931CallState.ConnectIndication)
+        elif t.service == ServiceType.MobileOriginatedSMS:
+            if state in (SIPState.Cleared, SIPState.Fail):
+                # ack the RP layer and close
+                ok = state == SIPState.Cleared
+                rp = (sms.RPAck(reference=1) if ok
+                      else sms.RPError(reference=1))
+                cp = sms.CPData(ti=0, rpdu=rp.encode())
+                bits = np.unpackbits(np.frombuffer(cp.encode(), np.uint8))
+                channel.send(L3Frame(bits, Primitive.DATA), sapi=3)
+                self.transactions.remove(t.id)
+                self._release_channel(channel)

@@ -1,0 +1,246 @@
+import numpy as np
+import pytest
+
+from openbts_ttsou_tpu.control.common import (
+    Q931CallState,
+    ServiceType,
+    TMSITable,
+    TransactionTable,
+)
+from openbts_ttsou_tpu.control.hlr import AsteriskHLR, HLRCache, LocalHLR
+from openbts_ttsou_tpu.control.procedures import ControlLayer
+from openbts_ttsou_tpu.gsm.btsconfig import BTSConfig
+from openbts_ttsou_tpu.gsm.l3 import cc, common, mm, parse_l3, rr
+from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+from openbts_ttsou_tpu.sip.message import SIPMessage, make_response
+from openbts_ttsou_tpu.utils.gsm_time import Time
+
+IMSI = "001010123456789"
+
+
+class FakeChannel:
+    def __init__(self, tn=1):
+        class L1:
+            pass
+
+        self.l1 = L1()
+        self.l1.tn = tn
+        self.l1.subchannel = 0
+        self.sent = []
+        self.opened_at = None
+
+    def send(self, l3, sapi=0):
+        self.sent.append((l3, sapi))
+
+    def open(self, fn=0):
+        self.opened_at = fn
+
+    def pop_l3(self):
+        l3, sapi = self.sent.pop(0)
+        return parse_l3(l3.bits), sapi
+
+
+@pytest.fixture
+def layer():
+    sip_out = []
+    bts = BTSConfig()
+    ctl = ControlLayer(bts, sip_send=sip_out.append)
+    ctl._sip_out = sip_out
+    return ctl
+
+
+def _attach_sdcch(ctl, n=1):
+    chans = [FakeChannel() for _ in range(n)]
+    for ch in chans:
+        ctl.bts.add_sdcch(ch)
+    return chans
+
+
+def test_access_grant_and_congestion(layer):
+    chans = _attach_sdcch(layer, 1)
+    ch = layer.handle_rach(0x42, Time(5000, 0), -60, 1.2)
+    assert ch is chans[0]
+    assert ch.opened_at == 5000
+    agch = layer.bts.next_ccch_frame()
+    msg = parse_l3(agch.bits)
+    assert isinstance(msg, rr.ImmediateAssignment)
+    assert msg.reference.ra == 0x42
+    assert msg.timing_advance == 1
+    # pool exhausted → reject with growing T3122
+    t0 = layer.bts.t3122()
+    assert layer.handle_rach(0x43, Time(5001, 0), -60, 0) is None
+    rej = parse_l3(layer.bts.next_ccch_frame().bits)
+    assert isinstance(rej, rr.ImmediateAssignmentReject)
+    assert layer.bts.t3122() >= t0
+
+
+def test_location_update_accept_flow(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    lur = mm.LocationUpdatingRequest(
+        layer.bts.lai(), common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, lur.encode())
+    # a REGISTER went out
+    reg = SIPMessage.parse(layer._sip_out.pop())
+    assert reg.method == "REGISTER"
+    assert f"IMSI{IMSI}" in (reg.get("from") or "")
+    # registrar accepts
+    t = layer.transactions.entries()[0]
+    layer.on_sip_response(t, ch, make_response(reg, 200, "OK"))
+    acc, _ = ch.pop_l3()
+    assert isinstance(acc, mm.LocationUpdatingAccept)
+    assert acc.identity is not None  # TMSI assigned
+    assert layer.tmsis.imsi(acc.identity.tmsi) == IMSI
+    rel, _ = ch.pop_l3()
+    assert isinstance(rel, rr.ChannelRelease)
+    assert layer.transactions.size() == 0
+
+
+def test_location_update_reject_flow(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    lur = mm.LocationUpdatingRequest(
+        layer.bts.lai(), common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, lur.encode())
+    reg = SIPMessage.parse(layer._sip_out.pop())
+    t = layer.transactions.entries()[0]
+    layer.on_sip_response(t, ch, make_response(reg, 404, "Not Found"))
+    rej, _ = ch.pop_l3()
+    assert isinstance(rej, mm.LocationUpdatingReject)
+
+
+def test_moc_call_flow(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    acc, _ = ch.pop_l3()
+    assert isinstance(acc, mm.CMServiceAccept)
+    setup = cc.Setup(cc.CalledPartyBCDNumber("2125551212"))
+    setup.ti = 0x0  # MS-originated TI 0
+    layer.dispatch_l3(ch, setup.encode())
+    proc, _ = ch.pop_l3()
+    assert isinstance(proc, cc.CallProceeding)
+    invite = SIPMessage.parse(layer._sip_out.pop())
+    assert invite.method == "INVITE"
+    assert "2125551212" in invite.uri
+    t = layer.transactions.entries()[0]
+    assert t.state == Q931CallState.MOCProceeding
+    # 180 → Alerting
+    layer.on_sip_response(t, ch, make_response(invite, 180, "Ringing",
+                                               to_tag="x"))
+    alert, _ = ch.pop_l3()
+    assert isinstance(alert, cc.Alerting)
+    # 200 → ACK + Connect
+    from openbts_ttsou_tpu.sip.message import make_sdp
+
+    ok = make_response(invite, 200, "OK", to_tag="x",
+                       body=make_sdp("127.0.0.1", 12345))
+    layer.on_sip_response(t, ch, ok)
+    ack = SIPMessage.parse(layer._sip_out.pop())
+    assert ack.method == "ACK"
+    conn, _ = ch.pop_l3()
+    assert isinstance(conn, cc.Connect)
+    assert t.state == Q931CallState.ConnectIndication
+    # MS hangs up
+    layer.dispatch_l3(ch, cc.Disconnect().encode())
+    rel, _ = ch.pop_l3()
+    assert isinstance(rel, cc.Release)
+    bye = SIPMessage.parse(layer._sip_out.pop())
+    assert bye.method == "BYE"
+    layer.dispatch_l3(ch, cc.ReleaseComplete().encode())
+    assert layer.transactions.size() == 0
+
+
+def test_mtc_paging_flow(layer):
+    (ch,) = _attach_sdcch(layer)
+    t = layer.initiate_mtc(IMSI, calling="5551000")
+    assert t.state == Q931CallState.Paging
+    layer.page_tick()
+    page = parse_l3(layer.bts.next_ccch_frame().bits)
+    assert isinstance(page, rr.PagingRequestType1)
+    # MS responds on the allocated channel
+    layer.bts.get_sdcch()
+    resp = rr.PagingResponse(common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, resp.encode())
+    setup, _ = ch.pop_l3()
+    assert isinstance(setup, cc.Setup)
+    assert setup.called.digits == "5551000"
+    assert t.state == Q931CallState.CallPresent
+
+
+def test_mo_sms_flow(layer):
+    from openbts_ttsou_tpu.sms import messages as sms_m
+
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=4,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    ch.sent.clear()
+    tl = sms_m.TLSubmit(mr=0, dest="411", text="hi")
+    rp = sms_m.RPData(reference=1, dest="170", tpdu=tl.encode(), mo=True)
+    cp = sms_m.CPData(ti=0, rpdu=rp.encode())
+    layer.handle_sms_cpdata(ch, cp.encode())
+    msg = SIPMessage.parse(layer._sip_out.pop())
+    assert msg.method == "MESSAGE" and msg.body == "hi"
+    t = layer.transactions.entries()[0]
+    layer.on_sip_response(t, ch, make_response(msg, 200, "OK"))
+    # RP-ACK wrapped in CP-DATA on SAPI 3
+    (l3, sapi) = ch.sent[0]
+    assert sapi == 3
+    blob = np.packbits(l3.bits).tobytes()
+    cp2 = sms_m.parse_cp(blob)
+    rp2 = sms_m.parse_rp(cp2.rpdu)
+    assert isinstance(rp2, sms_m.RPAck)
+
+
+def test_mt_sms_delivery(layer):
+    from openbts_ttsou_tpu.sms import messages as sms_m
+
+    (ch,) = _attach_sdcch(layer)
+    t = layer.initiate_mtsms(IMSI, "5552000", "wake up")
+    layer.bts.get_sdcch()
+    resp = rr.PagingResponse(common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, resp.encode())
+    (l3, sapi) = ch.sent[0]
+    assert sapi == 3
+    cp = sms_m.parse_cp(np.packbits(l3.bits).tobytes())
+    rp = sms_m.parse_rp(cp.rpdu)
+    tl = sms_m.TLDeliver.parse(rp.tpdu)
+    assert tl.text == "wake up" and tl.orig == "5552000"
+
+
+def test_hlr_implementations(tmp_path):
+    local = LocalHLR()
+    local.add_user(IMSI, "5551000")
+    assert local.get_clid(IMSI) == "5551000"
+    assert local.get_imsi("5551000") == IMSI
+
+    sip_conf = tmp_path / "sip.conf"
+    ext_conf = tmp_path / "extensions.conf"
+    sip_conf.write_text("")
+    ext_conf.write_text("")
+    ast = AsteriskHLR(str(sip_conf), str(ext_conf))
+    ast.add_user(IMSI, "5551000")
+    assert ast.get_clid(IMSI) == "5551000"
+    assert ast.get_imsi("5551000") == IMSI
+    # idempotent
+    ast.add_user(IMSI, "5551000")
+    assert sip_conf.read_text().count(f"[{IMSI}]") == 1
+
+    cache = HLRCache(ast, ttl_s=60)
+    assert cache.get_clid(IMSI) == "5551000"
+    assert cache.get_clid(IMSI) == "5551000"  # cached
+
+
+def test_tmsi_table_dump_restore(tmp_path):
+    t = TMSITable()
+    tmsi = t.assign(IMSI)
+    assert t.assign(IMSI) == tmsi  # stable
+    path = tmp_path / "tmsis.txt"
+    t.dump(str(path))
+    t2 = TMSITable()
+    t2.restore(str(path))
+    assert t2.imsi(tmsi) == IMSI

@@ -1,0 +1,133 @@
+import numpy as np
+import pytest
+
+from openbts_ttsou_tpu.sip.engine import SIPEngine, SIPState
+from openbts_ttsou_tpu.sip.message import (
+    SIPMessage,
+    make_request,
+    make_response,
+    make_sdp,
+    parse_sdp_rtp,
+)
+from openbts_ttsou_tpu.sip.rtp import RTPSession
+
+
+def test_message_render_parse_round_trip():
+    m = make_request("INVITE", "2125551212", "001010123456789",
+                     "127.0.0.1", 5060, "127.0.0.1", 5062,
+                     body=make_sdp("127.0.0.1", 16484))
+    blob = m.render()
+    back = SIPMessage.parse(blob)
+    assert back.method == "INVITE"
+    assert back.uri == "sip:2125551212@127.0.0.1:5060"
+    assert back.call_id() == m.call_id()
+    assert back.cseq() == (1, "INVITE")
+    host, port = parse_sdp_rtp(back.body)
+    assert (host, port) == ("127.0.0.1", 16484)
+    r = make_response(back, 180, "Ringing", to_tag="abc")
+    rb = SIPMessage.parse(r.render())
+    assert rb.status == 180 and rb.header_param("to", "tag") == "abc"
+
+
+def _pair():
+    """Two engines wired back-to-back through in-memory queues."""
+    a_out, b_out = [], []
+    a = SIPEngine("1000", "127.0.0.1", 5062, "127.0.0.1", 5060,
+                  a_out.append)
+    b = SIPEngine("2000", "127.0.0.1", 5060, "127.0.0.1", 5062,
+                  b_out.append)
+    return a, b, a_out, b_out
+
+
+def test_moc_mtc_call_flow():
+    a, b, a_out, b_out = _pair()
+    # A invites B
+    a.moc_send_invite("2000")
+    invite = SIPMessage.parse(a_out.pop())
+    assert invite.method == "INVITE"
+    # B answers: trying, ringing, OK
+    b.mtc_accept_invite(invite)
+    b.mtc_send_trying()
+    b.mtc_send_ringing()
+    b.mtc_send_ok()
+    st = None
+    for blob in list(b_out):
+        st = a.receive(SIPMessage.parse(blob))
+    b_out.clear()
+    assert st == SIPState.Connecting
+    assert a.to_tag == b.to_tag
+    # A acks → both active
+    a.moc_send_ack()
+    ack = SIPMessage.parse(a_out.pop())
+    assert ack.method == "ACK"
+    b.receive(ack)
+    assert a.state == SIPState.Active and b.state == SIPState.Active
+    # RTP ports were negotiated via SDP
+    assert a.rtp is not None and b.rtp is not None
+    assert a.rtp.remote == ("127.0.0.1", b.rtp.local_port)
+    assert b.rtp.remote == ("127.0.0.1", a.rtp.local_port)
+    # voice path end-to-end
+    frame = bytes(range(33))
+    a.tx_frame(frame)
+    import time
+
+    got = None
+    for _ in range(50):
+        got = b.rx_frame()
+        if got:
+            break
+        time.sleep(0.01)
+    assert got == frame
+    # clearing: A sends BYE, B OKs
+    a.mod_send_bye()
+    bye = SIPMessage.parse(a_out.pop())
+    assert bye.method == "BYE"
+    b.receive(bye)
+    a.receive(SIPMessage.parse(b_out.pop()))
+    assert a.state == SIPState.Cleared and b.state == SIPState.Cleared
+    a.close()
+    b.close()
+
+
+def test_register_flow():
+    out = []
+    e = SIPEngine("IMSI001010123456789", "127.0.0.1", 5062,
+                  "127.0.0.1", 5060, out.append)
+    e.register()
+    req = SIPMessage.parse(out.pop())
+    assert req.method == "REGISTER"
+    assert req.get("expires") == "3600"
+    assert "IMSI001010123456789" in (req.get("from") or "")
+    ok = make_response(req, 200, "OK")
+    e.receive(ok)
+    assert e.state == SIPState.Cleared
+    # unregister = expires 0
+    e.unregister()
+    req = SIPMessage.parse(out.pop())
+    assert req.get("expires") == "0"
+
+
+def test_mosms_message_flow():
+    out = []
+    e = SIPEngine("1000", "127.0.0.1", 5062, "127.0.0.1", 5063,
+                  out.append)
+    e.mosms_send_message("411", "hello world")
+    req = SIPMessage.parse(out.pop())
+    assert req.method == "MESSAGE"
+    assert req.body == "hello world"
+    assert req.get("content-type") == "text/plain"
+    e.receive(make_response(req, 200, "OK"))
+    assert e.state == SIPState.Cleared
+
+
+def test_invite_rejection_states():
+    a, b, a_out, b_out = _pair()
+    a.moc_send_invite("2000")
+    invite = SIPMessage.parse(a_out.pop())
+    assert a.receive(make_response(invite, 486, "Busy Here")) == \
+        SIPState.Busy
+    a2, _, a2_out, _ = _pair()[0:1] + _pair()[1:]
+    a2.moc_send_invite("2000")
+    inv2 = SIPMessage.parse(a2._last_request.render())
+    assert a2.receive(make_response(inv2, 404, "Not Found")) == \
+        SIPState.Fail
