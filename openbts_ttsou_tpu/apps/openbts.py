@@ -1,0 +1,254 @@
+"""The BTS application: composition root + service loop + CLI.
+
+Reference behavior: `apps/OpenBTS.cpp:174-340` — config load, forked
+transceiver child with hangup watchdog (restartTransceiver,
+OpenBTS.cpp:93-155), radio bring-up sequence (:200-214), beacon and
+channel-set instantiation (:215-291), BTS start and the CLI REPL with
+periodic load logging (:305-340).
+
+The reference's per-channel threads become one event-driven service
+loop (`BTSApp.step`); the transceiver runs either in-process
+(`TrxDaemon`) or as a child process speaking the UDP wire protocol.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time as systime
+from typing import List, Optional
+
+import numpy as np
+
+from openbts_ttsou_tpu.cli import Parser
+from openbts_ttsou_tpu.control.hlr import LocalHLR
+from openbts_ttsou_tpu.control.procedures import ControlLayer
+from openbts_ttsou_tpu.gsm import channels, tdma
+from openbts_ttsou_tpu.gsm.btsconfig import BTSConfig
+from openbts_ttsou_tpu.gsm.transfer import L2Frame, L3Frame, Primitive
+from openbts_ttsou_tpu.gsm.trxmanager import TransceiverManager
+from openbts_ttsou_tpu.gsm.lapdm import CCCHL2
+from openbts_ttsou_tpu.gsm import l1fec
+from openbts_ttsou_tpu.sip.interface import SIPInterface
+from openbts_ttsou_tpu.utils.config import ConfigurationTable
+from openbts_ttsou_tpu.utils.gsm_time import Time
+from openbts_ttsou_tpu.utils.logger import get_logger
+
+log = get_logger("openbts")
+
+
+class BTSApp:
+    """Everything the reference's main() wires up."""
+
+    def __init__(self, config: Optional[ConfigurationTable] = None,
+                 trx_base_port: int = 5700,
+                 spawn_transceiver: bool = False,
+                 sip_enabled: bool = False):
+        self.bts = BTSConfig(config)
+        c = self.bts.config
+        self.trx_base_port = trx_base_port
+        self.trx_child: Optional[subprocess.Popen] = None
+        if spawn_transceiver:
+            self.restart_transceiver()
+        self.trx = TransceiverManager(
+            n_arfcn=1, local_base=trx_base_port + 100,
+            remote_base=trx_base_port)
+        self.bts.clock = self.trx.clock
+        self.sip: Optional[SIPInterface] = None
+        if sip_enabled:
+            self.sip = SIPInterface(
+                local_port=c.get_int("SIP.Port", 5062),
+                proxy_host=c.get_str("Asterisk.IP", "127.0.0.1"),
+                proxy_port=c.get_int("Asterisk.Port", 5060),
+                on_new_invite=self._on_invite,
+                on_new_message=self._on_message)
+        self.control = ControlLayer(
+            self.bts, hlr=LocalHLR(),
+            sip_send=(self.sip.send if self.sip else (lambda d: None)))
+        self.parser = Parser(self)
+
+        # beacon + channel set (OpenBTS.cpp:215-291)
+        self.sch = channels.SCHL1(self.bts.bsic())
+        self.fcch = channels.FCCHL1()
+        self.bcch = channels.CCCHL1(0, tdma.BCCH, tdma.BCCH,
+                                    tsc=self.bts.bcc)
+        self.agch = channels.CCCHL1(0, tdma.CCCH[0], tdma.CCCH[0],
+                                    tsc=self.bts.bcc)
+        self.pch = channels.CCCHL1(0, tdma.CCCH[1], tdma.CCCH[1],
+                                   tsc=self.bts.bcc)
+        self.ccch_l2 = CCCHL2()
+        self.rach = channels.RACHL1(0, self.bts.bsic(),
+                                    self.control.handle_rach)
+        self.dcch: List[channels.LogicalChannel] = []
+        n_sdcch = c.get_int("GSM.NumSDCCH", 4)
+        for i in range(min(n_sdcch, 8)):
+            dl, ul = tdma.SDCCH_8[i]
+            l1 = channels.XCCHL1(0, dl, ul, tsc=self.bts.bcc)
+            l1.subchannel = i
+            ch = channels.LogicalChannel(l1, sapis=(0, 3))
+            self.bts.add_sdcch(ch)
+            self.dcch.append(ch)
+        n_tch = c.get_int("GSM.NumTCH", 2)
+        for tn in range(1, 1 + min(n_tch, 7)):
+            tch = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
+                                      tdma.FACCH_TCHF, tsc=self.bts.bcc)
+            self.bts.add_tch(tch)
+        arfcn = self.trx.arfcn(0)
+        arfcn.install_decoder(self.rach)
+        for ch in self.dcch:
+            arfcn.install_decoder(ch.l1)
+        self._last_fn = -1
+        self._beacon_fn = 0
+
+    # -- transceiver child management (OpenBTS.cpp:93-155) -------------
+    def restart_transceiver(self) -> None:
+        if self.trx_child is not None:
+            self.trx_child.kill()
+            self.trx_child.wait(timeout=5)
+        self.trx_child = subprocess.Popen(
+            [sys.executable, "-m", "openbts_ttsou_tpu.trx.daemon",
+             "--base-port", str(self.trx_base_port)])
+
+    def bringup(self, arfcn_khz: int = 890000) -> bool:
+        """Radio bring-up sequence (OpenBTS.cpp:200-214)."""
+        a = self.trx.arfcn(0)
+        ok = a.power_off()
+        ok &= a.set_tsc(self.bts.bcc)
+        ok &= a.tune(arfcn_khz, arfcn_khz + 45000)
+        ok &= a.set_power(0)
+        ok &= a.set_max_delay(4)
+        ok &= a.set_slot(0, 7)  # C-VII beacon+SDCCH slot
+        ok &= a.power_on()
+        return ok
+
+    # -- SIP inbound hooks ---------------------------------------------
+    def _on_invite(self, msg) -> None:
+        user = msg.uri_user("to") or ""
+        imsi = user[4:] if user.startswith("IMSI") else \
+            self.control.hlr.get_imsi(user) or user
+        t = self.control.initiate_mtc(imsi,
+                                      calling=msg.uri_user("from") or "")
+        engine = self.control._new_engine(f"IMSI{imsi}")
+        engine.mtc_accept_invite(msg)
+        t.sip = engine
+
+    def _on_message(self, msg) -> None:
+        user = msg.uri_user("to") or ""
+        imsi = user[4:] if user.startswith("IMSI") else \
+            self.control.hlr.get_imsi(user) or user
+        self.control.initiate_mtsms(imsi, msg.uri_user("from") or "",
+                                    msg.body)
+
+    # -- service loop --------------------------------------------------
+    def step(self) -> None:
+        """One iteration: clock, rx, beacon/CCCH scheduling, SIP,
+        paging (the union of the reference's service threads)."""
+        self.trx.poll_clock(timeout_ms=0)
+        arfcn = self.trx.arfcn(0)
+        arfcn.drive_rx(timeout_ms=0)
+        # drain decoded L3 from dedicated channels into Control
+        for ch in self.dcch:
+            ch.pump()
+            while True:
+                l3 = ch.recv(0)
+                if l3 is None:
+                    break
+                if l3.primitive == Primitive.DATA and len(l3.bits) >= 16:
+                    self.control.dispatch_l3(ch, l3.bits)
+            while True:
+                l3 = ch.recv(3)  # SMS SAP
+                if l3 is None:
+                    break
+                if l3.primitive == Primitive.DATA and len(l3.bits) >= 16:
+                    blob = np.packbits(l3.bits).tobytes()
+                    self.control.handle_sms_cpdata(ch, blob)
+        # beacon + CCCH downlink for the near future
+        fn_now = self.bts.clock.fn()
+        horizon = fn_now + 30
+        while self._beacon_fn <= horizon:
+            self._generate_downlink(self._beacon_fn)
+            self._beacon_fn += 1
+        # dedicated-channel downlink
+        for ch in self.dcch:
+            while ch.l1.tx_queue and ch.l1.tx_queue[0].fn <= horizon:
+                arfcn.write_high_side(ch.l1.tx_queue.popleft())
+        if self.sip:
+            self.sip.drive(timeout_ms=0)
+        self.control.page_tick()
+
+    def _generate_downlink(self, fn: int) -> None:
+        arfcn = self.trx.arfcn(0)
+        b = self.sch.generate(fn)
+        if b:
+            arfcn.write_high_side(b)
+        b = self.fcch.generate(fn)
+        if b:
+            arfcn.write_high_side(b)
+        # BCCH: SI rotation (BCCHL1Encoder::generate)
+        if tdma.BCCH.reverse(fn) == 0:
+            self.ccch_l2.write_high_side(self.bts.si3_frame())
+            for f in self.ccch_l2.take_l1_out():
+                self._send_ccch(self.bcch, f, fn)
+        # AGCH/PCH from the queues
+        if tdma.CCCH[0].reverse(fn) == 0:
+            frame = self.bts.next_ccch_frame()
+            if frame is not None:
+                self.ccch_l2.write_high_side(frame)
+                for f in self.ccch_l2.take_l1_out():
+                    self._send_ccch(self.agch, f, fn)
+
+    def _send_ccch(self, l1: channels.CCCHL1, frame: L2Frame,
+                   fn: int) -> None:
+        l1.active = True
+        l1.next_write_fn = fn
+        l1.send_l2(frame)
+        arfcn = self.trx.arfcn(0)
+        while l1.tx_queue:
+            arfcn.write_high_side(l1.tx_queue.popleft())
+
+    def run_cli(self) -> None:  # pragma: no cover - interactive
+        print(f"openbts-ttsou-tpu ready; type 'help'")
+        while True:
+            try:
+                line = input("OpenBTS> ")
+            except EOFError:
+                break
+            out = self.parser.process(line)
+            if out:
+                print(out)
+            if line.strip() == "exit":
+                break
+
+    def shutdown(self) -> None:
+        self.trx.stop()
+        if self.trx_child is not None:
+            self.trx_child.kill()
+
+
+def main():  # pragma: no cover - manual entry point
+    import argparse
+
+    ap = argparse.ArgumentParser(description="TPU-native OpenBTS")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--trx-port", type=int, default=5700)
+    ap.add_argument("--spawn-trx", action="store_true")
+    args = ap.parse_args()
+    cfg = ConfigurationTable(args.config) if args.config else None
+    app = BTSApp(cfg, trx_base_port=args.trx_port,
+                 spawn_transceiver=args.spawn_trx, sip_enabled=True)
+    app.trx.start()
+    app.bringup()
+    import threading
+
+    def loop():
+        while True:
+            app.step()
+            systime.sleep(0.002)
+
+    threading.Thread(target=loop, daemon=True).start()
+    app.run_cli()
+    app.shutdown()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,76 @@
+"""BTSApp composition test: app + in-thread transceiver daemon."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from openbts_ttsou_tpu.apps.openbts import BTSApp
+from openbts_ttsou_tpu.cli import Parser
+from openbts_ttsou_tpu.trx.daemon import TrxDaemon, TrxDaemonConfig
+from openbts_ttsou_tpu.trx.radio import LoopbackRadio
+
+BASE = 49700
+
+
+@pytest.fixture(scope="module")
+def rig():
+    daemon = TrxDaemon(LoopbackRadio(), TrxDaemonConfig(base_port=BASE))
+    stop = threading.Event()
+
+    def loop():
+        while not stop.is_set():
+            daemon.step()
+            time.sleep(0.001)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+    app = BTSApp(trx_base_port=BASE)
+    yield app, daemon
+    stop.set()
+    t.join(timeout=2)
+    app.shutdown()
+
+
+def test_bringup_and_beacon(rig):
+    app, daemon = rig
+    assert app.bringup()
+    assert daemon.on
+    # clock synced from IND CLOCK
+    deadline = time.time() + 5
+    while time.time() < deadline and app.bts.clock.fn() == 0:
+        app.trx.poll_clock(timeout_ms=100)
+    assert app.bts.clock.fn() > 0
+    # service loop schedules beacon bursts into the daemon
+    for _ in range(20):
+        app.step()
+        time.sleep(0.005)
+    assert len(daemon.pending_tx) > 0 or daemon.fn > 0
+
+
+def test_cli_commands(rig):
+    app, _ = rig
+    p = app.parser
+    assert "uptime" in p.process("help")
+    assert "openbts-ttsou-tpu" in p.process("version")
+    assert "frame number" in p.process("uptime")
+    assert "SDCCH" in p.process("load")
+    out = p.process("cellid 310 260 777 42")
+    assert "LAC=777" in out and "CI=42" in out
+    assert p.process("config GSM.Foo bar") == "set"
+    assert "GSM.Foo bar" in p.process("config GSM.Foo")
+    assert "(empty)" in p.process("tmsis") or p.process("tmsis")
+    assert "paging" in p.process("page 001010123456789 5")
+    assert "unknown command" in p.process("bogus")
+    assert "usage" in p.process("page")
+    assert "TN0" in p.process("chans")
+
+
+def test_cli_sendsms_and_calls(rig):
+    app, _ = rig
+    out = app.parser.process("sendsms 001010123456789 100 hello there")
+    assert "queued" in out
+    assert "MobileTerminatedSMS" in app.parser.process("calls")
+    tid = app.control.transactions.entries()[0].id
+    assert "removed" in app.parser.process(f"endcall {tid}")
