@@ -59,7 +59,7 @@ def uplink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
     """
     from openbts_ttsou_tpu.parallel.sharded import _slot_windows
 
-    lpf = jnp.asarray(fir.resampler_lpf(spec.p, spec.q, spec.taps))
+    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)  # trace-time const
     sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
     sym = sym[..., : spec.block_symbols]
     wins = _slot_windows(sym, spec.frames)
@@ -91,7 +91,7 @@ def downlink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
     _, slots = lax.scan(frame_step, fn0, (bits, valid, atten_db))
     # [frames, C, 8, 157] → continuous stream [C, frames·1250]
     sym = _assemble_stream(slots)
-    lpf = jnp.asarray(fir.resampler_lpf(spec.q, spec.p, 651))
+    lpf = fir.resampler_lpf(spec.q, spec.p, 651)
     out = fir.polyphase_resample(sym, spec.q, spec.p, lpf)
     return out[..., : spec.block_in]
 

@@ -251,6 +251,11 @@ def polyphase_resample_mm(x: Array, p: int, q: int, lpf: Array, *,
     `polyphase_resample`, computed as one p-output-channel strided
     convolution (the TPU-native polyphase formulation)."""
     x2, lead = _as_2d(jnp.asarray(x))
+    if isinstance(lpf, jax.core.Tracer):
+        raise TypeError(
+            "polyphase_resample_mm needs a concrete (numpy) filter — the "
+            "bank layout is built at trace time; pass the design-time LPF "
+            "array, not a traced value")
     lpf_np = np.asarray(lpf)
     taps = lpf_np.shape[-1]
     T = x2.shape[-1]

@@ -104,7 +104,7 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
     assert spec.n_chan_total % n_chan_dev == 0
     c_local = spec.n_chan_total // n_chan_dev
     cfg_local = cfg._replace(n_chan=c_local)
-    lpf = jnp.asarray(fir.resampler_lpf(spec.p, spec.q, spec.taps))
+    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)  # trace-time const
 
     state_specs = eng.TrxState(
         fn=P("time"),
