@@ -163,6 +163,77 @@ class XCCHL1(L1Channel):
             self.upstream.write_low_side(L2Frame(bits))
 
 
+class SACCHL1(XCCHL1):
+    """SACCH: XCCH FEC plus the 16-bit L1 header carrying power control
+    and timing advance (SACCHL1Encoder/Decoder, GSML1FEC.h:576-990,
+    GSML1FEC.cpp:685-695,1485-1492). The L2 payload is 168 bits."""
+
+    def __init__(self, tn: int, downlink: tdma.TDMAMapping,
+                 uplink: tdma.TDMAMapping, tsc: int | None = None):
+        super().__init__(tn, downlink, uplink, tsc)
+        self.ordered_ms_power = 33  # dBm ordered via the L1 header
+        self.ordered_ms_timing = 0
+        self.actual_ms_power = 40  # reported by the MS (cpp:1419)
+        self.actual_ms_timing = 0
+
+    @staticmethod
+    def _encode_power(dbm: int) -> int:
+        """GSM 05.05 4.1.1 power-control level for GSM900
+        (encodePower)."""
+        return max(0, min(31, (39 - dbm) // 2))
+
+    @staticmethod
+    def _decode_power(level: int) -> int:
+        return 39 - 2 * level
+
+    def send_l2(self, frame: L2Frame) -> None:
+        """Prepend the L1 header (u[0:8]=power, u[8:16]=TA,
+        GSML1FEC.cpp:1488-1489) before the 168-bit L2 payload."""
+        header = np.zeros(16, np.uint8)
+        pw = self._encode_power(self.ordered_ms_power)
+        ta = int(self.ordered_ms_timing + 0.5)
+        for i in range(8):
+            header[i] = (pw >> (7 - i)) & 1
+            header[8 + i] = (ta >> (7 - i)) & 1
+        payload = np.asarray(l1fec.lsb8msb(frame.bits))[:168]
+        bits = np.concatenate([header, payload])
+        bursts = np.asarray(
+            l1fec.xcch_encode(bits[None], tsc=self.tsc))[0]
+        self.next_write_fn = self._schedule(bursts, self.next_write_fn)
+
+    def write_low_side(self, burst: RxBurst) -> None:
+        if not self.active:
+            return
+        b = self.uplink.reverse(burst.fn)
+        if b is None:
+            return
+        b %= 4
+        self._rx_bursts[b] = np.asarray(burst.soft, np.float32)
+        self.record_phy(burst.rssi, burst.timing_error)
+        if b != 3:
+            return
+        block = np.stack([
+            x if x is not None else np.full(148, 0.5, np.float32)
+            for x in self._rx_bursts])
+        self._rx_bursts = [None] * 4
+        frames, ok = l1fec.xcch_decode(block[None])
+        if not bool(np.asarray(ok)[0]):
+            self.bad_frames += 1
+            return
+        self.good_frames += 1
+        u = np.asarray(frames)[0]
+        # L1 header: power at u[3:8] (5 bits), TA at u[9:16]
+        # (SACCHL1Decoder, GSML1FEC.cpp:691-694)
+        pw = int("".join(map(str, u[3:8])), 2)
+        self.actual_ms_power = self._decode_power(pw)
+        ta = int("".join(map(str, u[9:16])), 2)
+        if ta < 64:
+            self.actual_ms_timing = ta
+        payload = np.asarray(l1fec.lsb8msb(u[16:184]))
+        if self.upstream is not None:
+            self.upstream.write_low_side(L2Frame(payload))
+
+
 class CCCHL1(XCCHL1):
     """Downlink-only CCCH (AGCH/PCH): same FEC, unit-data only
     (CCCHL1Encoder; GSML1FEC.h NDCCH variants)."""
