@@ -268,6 +268,145 @@ class AssignmentComplete(L3Message):
         self.cause = r.octet()
 
 
+@dataclasses.dataclass
+class CellChannelDescription:
+    """Cell Channel Description, GSM 04.08 10.5.2.1b (16 octets,
+    bit-map-0 variant): a bit per ARFCN 1..124."""
+
+    arfcns: tuple = (0,)
+
+    def write_v(self, w: BitWriter) -> None:
+        w.field(0, 4)  # format "bit map 0" + spare
+        for n in range(124, 0, -1):
+            w.field(1 if n in self.arfcns else 0, 1)
+
+    @classmethod
+    def parse_v(cls, r: BitReader) -> "CellChannelDescription":
+        r.field(4)
+        arfcns = []
+        for n in range(124, 0, -1):
+            if r.field(1):
+                arfcns.append(n)
+        return cls(tuple(sorted(arfcns)))
+
+
+@register
+class SystemInformationType1(L3Message):
+    """GSM 04.08 9.1.31: cell channel description + RACH control."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x19
+
+    def __init__(self, cell_channels: CellChannelDescription | None = None,
+                 rach: RACHControlParameters | None = None):
+        self.cell_channels = cell_channels or CellChannelDescription()
+        self.rach = rach or RACHControlParameters()
+
+    def write_body(self, w: BitWriter) -> None:
+        self.cell_channels.write_v(w)
+        self.rach.write_v(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cell_channels = CellChannelDescription.parse_v(r)
+        self.rach = RACHControlParameters.parse_v(r)
+
+
+@register
+class SystemInformationType2(L3Message):
+    """GSM 04.08 9.1.32: BCCH (neighbor) frequency list + NCC permitted
+    + RACH control."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x1A
+
+    def __init__(self, neighbors: CellChannelDescription | None = None,
+                 ncc_permitted: int = 0xFF,
+                 rach: RACHControlParameters | None = None):
+        self.neighbors = neighbors or CellChannelDescription(())
+        self.ncc_permitted = ncc_permitted
+        self.rach = rach or RACHControlParameters()
+
+    def write_body(self, w: BitWriter) -> None:
+        self.neighbors.write_v(w)
+        w.octet(self.ncc_permitted)
+        self.rach.write_v(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.neighbors = CellChannelDescription.parse_v(r)
+        self.ncc_permitted = r.octet()
+        self.rach = RACHControlParameters.parse_v(r)
+
+
+@register
+class SystemInformationType4(L3Message):
+    """GSM 04.08 9.1.36: LAI + cell selection + RACH control."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x1C
+
+    def __init__(self, lai: LAI | None = None,
+                 ms_txpwr_max_cch: int = 0, rxlev_access_min: int = 0,
+                 rach: RACHControlParameters | None = None):
+        self.lai = lai or LAI()
+        self.ms_txpwr_max_cch = ms_txpwr_max_cch
+        self.rxlev_access_min = rxlev_access_min
+        self.rach = rach or RACHControlParameters()
+
+    def write_body(self, w: BitWriter) -> None:
+        self.lai.write_v(w)
+        w.field(0, 3).field(self.ms_txpwr_max_cch, 5)
+        w.field(0, 2).field(self.rxlev_access_min, 6)
+        self.rach.write_v(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.lai = LAI.parse_v(r)
+        r.field(3)
+        self.ms_txpwr_max_cch = r.field(5)
+        r.field(2)
+        self.rxlev_access_min = r.field(6)
+        self.rach = RACHControlParameters.parse_v(r)
+
+
+@register
+class MeasurementReport(L3Message):
+    """GSM 04.08 9.1.21 (uplink on SACCH): serving-cell RXLEV/RXQUAL +
+    neighbor count (measurement results, 10.5.2.20)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x15
+
+    def __init__(self, rxlev_full: int = 0, rxlev_sub: int = 0,
+                 rxqual_full: int = 0, rxqual_sub: int = 0,
+                 dtx_used: int = 0, meas_valid: int = 0):
+        self.rxlev_full = rxlev_full
+        self.rxlev_sub = rxlev_sub
+        self.rxqual_full = rxqual_full
+        self.rxqual_sub = rxqual_sub
+        self.dtx_used = dtx_used
+        self.meas_valid = meas_valid  # 0 = valid (!)
+
+    def write_body(self, w: BitWriter) -> None:
+        w.field(0, 1).field(self.dtx_used, 1).field(self.rxlev_full, 6)
+        w.field(0, 1).field(self.meas_valid, 1).field(self.rxlev_sub, 6)
+        w.field(0, 1).field(self.rxqual_full, 3)
+        w.field(self.rxqual_sub, 3).field(1, 1)  # NO-NCELL-M hi: 0 cells
+        w.field(3, 2).field(0, 6)  # NO-NCELL lo "111" = no neighbors
+        for _ in range(12):
+            w.octet(0)
+
+    def parse_body(self, r: BitReader) -> None:
+        r.field(1)
+        self.dtx_used = r.field(1)
+        self.rxlev_full = r.field(6)
+        r.field(1)
+        self.meas_valid = r.field(1)
+        self.rxlev_sub = r.field(6)
+        r.field(1)
+        self.rxqual_full = r.field(3)
+        self.rxqual_sub = r.field(3)
+        # remaining neighbor fields ignored in this subset
+
+
 @register
 class SystemInformationType3(L3Message):
     """GSM 04.08 9.1.35 — the SI3 subset the reference broadcasts

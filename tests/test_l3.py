@@ -149,3 +149,34 @@ def test_parse_l3_unknown_returns_none():
     bits = np.zeros(24, np.uint8)
     bits[4:8] = [0, 1, 1, 1]  # PD=7 (unassigned here)
     assert parse_l3(bits) is None
+
+
+def test_si1_si2_si4():
+    si1 = rr.SystemInformationType1(
+        rr.CellChannelDescription((1, 50, 124)),
+        rr.RACHControlParameters(max_retrans=3))
+    out = round_trip(si1)
+    assert out.cell_channels.arfcns == (1, 50, 124)
+    assert out.rach.max_retrans == 3
+
+    si2 = rr.SystemInformationType2(
+        rr.CellChannelDescription((10, 20)), ncc_permitted=0x55)
+    out = round_trip(si2)
+    assert out.neighbors.arfcns == (10, 20)
+    assert out.ncc_permitted == 0x55
+
+    si4 = rr.SystemInformationType4(common.LAI("234", "15", 5),
+                                    ms_txpwr_max_cch=9,
+                                    rxlev_access_min=7)
+    out = round_trip(si4)
+    assert out.lai.lac == 5 and out.ms_txpwr_max_cch == 9
+    assert out.rxlev_access_min == 7
+
+
+def test_measurement_report():
+    m = rr.MeasurementReport(rxlev_full=45, rxlev_sub=40, rxqual_full=2,
+                             rxqual_sub=1, dtx_used=1)
+    out = round_trip(m)
+    assert out.rxlev_full == 45 and out.rxlev_sub == 40
+    assert out.rxqual_full == 2 and out.rxqual_sub == 1
+    assert out.dtx_used == 1
