@@ -111,6 +111,7 @@ class ControlLayer:
             mm.IMSIDetachIndication: self.imsi_detach,
             mm.IdentityResponse: self.identity_response,
             rr.PagingResponse: self.paging_response,
+            rr.AssignmentComplete: self.assignment_complete,
             cc.Setup: self.moc_setup,
             cc.Alerting: self.cc_forward,
             cc.Connect: self.mtc_connect,
@@ -232,6 +233,31 @@ class ControlLayer:
         t.sip = engine
         engine.moc_send_invite(t.called)
         t.set_state(Q931CallState.MOCProceeding)
+        self.assign_tch(channel, t)
+
+    def assign_tch(self, channel, t: TransactionEntry) -> None:
+        """Early assignment: move the call to a TCH/F
+        (assignTCHF, CallControl.cpp:441-470)."""
+        tch = self.bts.get_tch()
+        if tch is None:
+            return  # stay on the SDCCH (very-early assignment fallback)
+        t.tch = tch
+        cmd = rr.AssignmentCommand(
+            rr.ChannelDescription(type_and_offset=1, tn=tch.tn,
+                                  tsc=self.bts.bcc, arfcn=self.bts.arfcn))
+        channel.send(L3Frame(cmd.encode(), Primitive.DATA))
+
+    def assignment_complete(self, channel, msg: rr.AssignmentComplete):
+        """AssignmentCompleteHandler (RadioResource.cpp:285): the MS is
+        on the TCH; open it and attach the voice pump when active."""
+        t = self._transaction_for(channel)
+        if t is None or getattr(t, "tch", None) is None:
+            return
+        t.tch.open(self.bts.clock.fn())
+        if t.sip is not None and t.sip.rtp is not None:
+            from openbts_ttsou_tpu.control.voice import VoicePump
+
+            t.voice = VoicePump(t.tch, t.sip)
 
     def cc_forward(self, channel, msg):
         pass  # Alerting/ConnectAck uplink need no action in this subset
@@ -272,6 +298,10 @@ class ControlLayer:
         if t:
             if t.sip is not None:
                 t.sip.close()
+            tch = getattr(t, "tch", None)
+            if tch is not None:
+                tch.close()
+                self.bts.release(tch)
             self.transactions.remove(t.id)
         self._release_channel(channel)
 

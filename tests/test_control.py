@@ -244,3 +244,88 @@ def test_tmsi_table_dump_restore(tmp_path):
     t2 = TMSITable()
     t2.restore(str(path))
     assert t2.imsi(tmsi) == IMSI
+
+
+def test_voice_pump_round_trip():
+    from openbts_ttsou_tpu.control.voice import (
+        VoicePump,
+        payload_to_rtp,
+        rtp_to_payload,
+    )
+
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, 260).astype(np.uint8)
+    frame = payload_to_rtp(bits)
+    assert len(frame) == 33
+    back = rtp_to_payload(frame)
+    np.testing.assert_array_equal(back, bits)
+    assert rtp_to_payload(b"\x00" * 33) is None  # bad signature
+
+    class FakeTCH:
+        def __init__(self):
+            import collections
+
+            self.speech_out = collections.deque()
+            self.sent = []
+
+        def send_tch(self, p):
+            self.sent.append(p)
+
+    class FakeEngine:
+        def __init__(self):
+            self.txed = []
+            self.rx_queue = []
+
+        def tx_frame(self, f):
+            self.txed.append(f)
+
+        def rx_frame(self):
+            return self.rx_queue.pop(0) if self.rx_queue else None
+
+    tch, eng = FakeTCH(), FakeEngine()
+    pump = VoicePump(tch, eng)
+    tch.speech_out.append(bits)
+    eng.rx_queue.append(payload_to_rtp(bits))
+    moved = pump.pump()
+    assert moved == 2
+    assert len(eng.txed) == 1 and rtp_to_payload(eng.txed[0]) is not None
+    np.testing.assert_array_equal(tch.sent[0], bits)
+
+
+def test_moc_with_tch_assignment(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+
+    class FakeTCH:
+        tn = 2
+
+        def __init__(self):
+            self.opened = None
+
+        def open(self, fn):
+            self.opened = fn
+
+        def close(self):
+            pass
+
+    tch = FakeTCH()
+    layer.bts.add_tch(tch)
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    ch.sent.clear()
+    setup = cc.Setup(cc.CalledPartyBCDNumber("911"))
+    layer.dispatch_l3(ch, setup.encode())
+    proc, _ = ch.pop_l3()
+    assert isinstance(proc, cc.CallProceeding)
+    cmd, _ = ch.pop_l3()
+    assert isinstance(cmd, rr.AssignmentCommand)
+    assert cmd.channel.tn == 2 and cmd.channel.type_and_offset == 1
+    # MS confirms the assignment
+    layer.dispatch_l3(ch, rr.AssignmentComplete().encode())
+    assert tch.opened is not None
+    assert layer.bts.tch_available() == 0
+    # teardown releases the TCH
+    layer.dispatch_l3(ch, cc.Disconnect().encode())
+    layer.dispatch_l3(ch, cc.ReleaseComplete().encode())
+    assert layer.bts.tch_available() == 1
