@@ -6,6 +6,12 @@ runTransceiver.cpp:68-74), drives the radio one GSM frame at a time
 through the jitted engine, and speaks the reference's wire protocol so
 an unmodified BTS stack (TRXManager) can control it.
 
+Where the reference runs one transceiver **process per ARFCN**, this
+daemon batches N carriers through one jitted engine step — the TPU-first
+improvement the batched `[chan, slot]` layout buys — while exposing the
+same per-ARFCN control/data port triples (base + 3·i + {1,2}) that
+`TRXManager` expects.
+
 The reference uses three service threads; here a single `step()`
 processes control messages, ingests downlink bursts, advances one frame
 of radio I/O through `rx_step`/`tx_step`, and emits the clock beacon —
@@ -15,6 +21,7 @@ callable from a `run()` loop or directly from tests.
 from __future__ import annotations
 
 import dataclasses
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -38,35 +45,47 @@ class TrxDaemonConfig:
     peer_host: str = "127.0.0.1"
     peer_port_offset: int = 100  # BTS listens at base+100+i
     sps: int = 1
+    n_arfcn: int = 1
     start_fn: int = 0
     tx_latency_frames: int = 2  # initial latency (runTransceiver.cpp:71)
 
 
 class TrxDaemon:
-    """One-ARFCN transceiver daemon over a pluggable radio."""
+    """N-ARFCN transceiver daemon over a pluggable radio (one radio per
+    carrier)."""
 
-    def __init__(self, radio: Radio, cfg: TrxDaemonConfig = TrxDaemonConfig()):
-        self.radio = radio
+    def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig()):
         self.cfg = cfg
+        self.radios: List[Radio] = (radio if isinstance(radio, list)
+                                    else [radio])
+        assert len(self.radios) == cfg.n_arfcn
         base, peer = cfg.base_port, cfg.base_port + cfg.peer_port_offset
         self.clock_sock = UdpTransport(base, cfg.peer_host, peer)
-        self.ctrl_sock = UdpTransport(base + 1, cfg.peer_host, peer + 1)
-        self.data_sock = UdpTransport(base + 2, cfg.peer_host, peer + 2)
-        self.engine_cfg = eng.TrxConfig(n_chan=1, sps=cfg.sps)
+        self.ctrl_socks = [
+            UdpTransport(base + 3 * i + 1, cfg.peer_host, peer + 3 * i + 1)
+            for i in range(cfg.n_arfcn)]
+        self.data_socks = [
+            UdpTransport(base + 3 * i + 2, cfg.peer_host, peer + 3 * i + 2)
+            for i in range(cfg.n_arfcn)]
+        self.engine_cfg = eng.TrxConfig(n_chan=cfg.n_arfcn, sps=cfg.sps)
         self.state = eng.init_state(self.engine_cfg)
-        self.on = False
-        self.tx_freq = 0.0
-        self.rx_freq = 0.0
-        self.power = -10
+        self.carrier_on = [False] * cfg.n_arfcn
+        self.tx_freq = [0.0] * cfg.n_arfcn
+        self.rx_freq = [0.0] * cfg.n_arfcn
+        self.power = [-10] * cfg.n_arfcn
         self.fn = cfg.start_fn  # receive-side frame clock
         self.tx_fn = cfg.start_fn + cfg.tx_latency_frames
-        self.last_clock_fn = None
-        self.pending_tx: dict[tuple[int, int], proto.DownlinkBurst] = {}
+        self.last_clock_fn: Optional[int] = None
+        self.pending_tx: Dict[Tuple[int, int, int], proto.DownlinkBurst] = {}
+
+    @property
+    def on(self) -> bool:
+        return any(self.carrier_on)
 
     # ------------------------------------------------------------------
     # control plane (driveControl, Transceiver.cpp:423-569)
     # ------------------------------------------------------------------
-    def handle_control(self, data: bytes) -> bytes | None:
+    def handle_control(self, data: bytes, carrier: int = 0) -> bytes | None:
         try:
             kind, verb, args = proto.parse_message(data)
         except ValueError:
@@ -77,27 +96,29 @@ class TrxDaemon:
         ok = 0
         extra: tuple = ()
         if verb == "POWEROFF":
-            self.on = False
+            self.carrier_on[carrier] = False
         elif verb == "POWERON":
-            if not self.tx_freq or not self.rx_freq:
+            if not self.tx_freq[carrier] or not self.rx_freq[carrier]:
                 ok = 1
             else:
-                if not self.on:
-                    self.radio.start()
-                    self.on = True
+                if not self.carrier_on[carrier]:
+                    self.radios[carrier].start()
+                    self.carrier_on[carrier] = True
         elif verb == "RXTUNE":
-            self.rx_freq = float(args[0]) * 1e3
-            ok = 0 if self.radio.set_rx_freq(self.rx_freq) else 1
+            self.rx_freq[carrier] = float(args[0]) * 1e3
+            ok = 0 if self.radios[carrier].set_rx_freq(
+                self.rx_freq[carrier]) else 1
             extra = (args[0],)
         elif verb == "TXTUNE":
-            self.tx_freq = float(args[0]) * 1e3
-            ok = 0 if self.radio.set_tx_freq(self.tx_freq) else 1
+            self.tx_freq[carrier] = float(args[0]) * 1e3
+            ok = 0 if self.radios[carrier].set_tx_freq(
+                self.tx_freq[carrier]) else 1
             extra = (args[0],)
         elif verb == "SETTSC":
             tsc = int(args[0])
             if 0 <= tsc <= 7:
                 self.state = self.state._replace(
-                    tsc=self.state.tsc.at[0].set(tsc))
+                    tsc=self.state.tsc.at[carrier].set(tsc))
             else:
                 ok = 1
             extra = (tsc,)
@@ -105,20 +126,21 @@ class TrxDaemon:
             tn, combo = int(args[0]), int(args[1])
             if 0 <= tn <= 7:
                 self.state = self.state._replace(
-                    chan_type=self.state.chan_type.at[0, tn].set(combo))
+                    chan_type=self.state.chan_type.at[carrier, tn]
+                    .set(combo))
             else:
                 ok = 1
             extra = (tn, combo)
         elif verb == "SETPOWER":
-            self.power = int(args[0])
-            extra = (self.power,)
+            self.power[carrier] = int(args[0])
+            extra = (self.power[carrier],)
         elif verb == "ADJPOWER":
-            self.power += int(args[0])
-            extra = (self.power,)
+            self.power[carrier] += int(args[0])
+            extra = (self.power[carrier],)
         elif verb == "SETMAXDELAY":
             self.state = self.state._replace(
-                max_expected_delay=self.state.max_expected_delay.at[0]
-                .set(int(args[0])))
+                max_expected_delay=self.state.max_expected_delay
+                .at[carrier].set(int(args[0])))
             extra = (args[0],)
         else:
             return None  # bogus command: reference just logs
@@ -127,60 +149,73 @@ class TrxDaemon:
     # ------------------------------------------------------------------
     # data plane
     # ------------------------------------------------------------------
-    def handle_downlink(self, data: bytes) -> None:
+    def handle_downlink(self, data: bytes, carrier: int = 0) -> None:
         try:
             burst = proto.unpack_downlink(data)
         except ValueError:
             return
-        self.pending_tx[(burst.fn % HYPERFRAME, burst.tn)] = burst
+        self.pending_tx[(carrier, burst.fn % HYPERFRAME, burst.tn)] = burst
 
     def _frame_ts(self, fn: int) -> int:
         return (fn - self.cfg.start_fn) * FRAME_SYMBOLS * self.cfg.sps
 
-    def step_frame(self) -> list[proto.UplinkBurst]:
-        """Advance one GSM frame: transmit tx_fn, receive fn."""
-        sps = self.cfg.sps
+    def step_frame(self) -> List[Tuple[int, proto.UplinkBurst]]:
+        """Advance one GSM frame for all carriers: transmit tx_fn,
+        receive fn. Returns (carrier, burst) uplink tuples."""
+        n, sps = self.cfg.n_arfcn, self.cfg.sps
         # ---- downlink (driveTransmitFIFO + pushRadioVector) ----------
-        bits = np.zeros((1, 8, 148), np.uint8)
-        valid = np.zeros((1, 8), bool)
-        atten = np.zeros((1, 8), np.float32)
-        for tn in range(8):
-            b = self.pending_tx.pop((self.tx_fn, tn), None)
-            if b is not None:
-                bits[0, tn] = b.bits & 1
-                valid[0, tn] = True
-                atten[0, tn] = b.gain
+        bits = np.zeros((n, 8, 148), np.uint8)
+        valid = np.zeros((n, 8), bool)
+        atten = np.zeros((n, 8), np.float32)
+        for c in range(n):
+            for tn in range(8):
+                b = self.pending_tx.pop((c, self.tx_fn, tn), None)
+                if b is not None:
+                    bits[c, tn] = b.bits & 1
+                    valid[c, tn] = True
+                    atten[c, tn] = b.gain
         slots = np.asarray(eng.tx_step(
             self.engine_cfg, self.state, jnp.asarray(bits),
             jnp.asarray(valid), jnp.asarray(atten),
             jnp.asarray(self.tx_fn, jnp.int32)))
-        frame_samples = np.zeros(FRAME_SYMBOLS * sps, np.complex64)
-        for tn in range(8):
-            off = SLOT_OFFSETS[tn] * sps
-            ln = SLOT_SAMPLE_PATTERN[tn] * sps
-            frame_samples[off: off + ln] += slots[0, tn, :ln]
-        self.radio.write_samples(frame_samples, self._frame_ts(self.tx_fn))
+        for c in range(n):
+            if not self.carrier_on[c]:
+                continue
+            frame_samples = np.zeros(FRAME_SYMBOLS * sps, np.complex64)
+            for tn in range(8):
+                off = SLOT_OFFSETS[tn] * sps
+                ln = SLOT_SAMPLE_PATTERN[tn] * sps
+                frame_samples[off: off + ln] += slots[c, tn, :ln]
+            self.radios[c].write_samples(frame_samples,
+                                         self._frame_ts(self.tx_fn))
         self.tx_fn = (self.tx_fn + 1) % HYPERFRAME
 
         # ---- uplink (driveReceiveFIFO + pullRadioVector) -------------
         ts = self._frame_ts(self.fn)
-        raw = self.radio.read_samples(FRAME_SYMBOLS * sps + sps, ts)
-        frame = np.zeros((1, 8, eng.SLOT_SAMPLES * sps), np.complex64)
-        for tn in range(8):
-            off = SLOT_OFFSETS[tn] * sps
-            frame[0, tn] = raw[off: off + eng.SLOT_SAMPLES * sps]
+        frame = np.zeros((n, 8, eng.SLOT_SAMPLES * sps), np.complex64)
+        for c in range(n):
+            if not self.carrier_on[c]:
+                continue
+            raw = self.radios[c].read_samples(FRAME_SYMBOLS * sps + sps, ts)
+            for tn in range(8):
+                off = SLOT_OFFSETS[tn] * sps
+                frame[c, tn] = raw[off: off + eng.SLOT_SAMPLES * sps]
         self.state = self.state._replace(fn=jnp.asarray(self.fn, jnp.int32))
         self.state, res = eng.rx_step(self.engine_cfg, self.state,
                                       jnp.asarray(frame))
-        out = []
-        det = np.asarray(res.detected)[0]
-        soft = np.asarray(res.soft_bits)[0]
-        rssi = np.asarray(res.rssi)[0]
-        timing = np.asarray(res.timing)[0]
-        for tn in range(8):
-            if det[tn]:
-                out.append(proto.UplinkBurst(tn, self.fn, int(rssi[tn]),
-                                             int(timing[tn]), soft[tn]))
+        out: List[Tuple[int, proto.UplinkBurst]] = []
+        det = np.asarray(res.detected)
+        soft = np.asarray(res.soft_bits)
+        rssi = np.asarray(res.rssi)
+        timing = np.asarray(res.timing)
+        for c in range(n):
+            if not self.carrier_on[c]:
+                continue
+            for tn in range(8):
+                if det[c, tn]:
+                    out.append((c, proto.UplinkBurst(
+                        tn, self.fn, int(rssi[c, tn]),
+                        int(timing[c, tn]), soft[c, tn])))
         self.fn = (self.fn + 1) % HYPERFRAME
         return out
 
@@ -191,20 +226,21 @@ class TrxDaemon:
 
     def step(self) -> None:
         """One service iteration: control, data ingest, one frame."""
-        msg = self.ctrl_sock.recv(256, timeout_ms=0)
-        if msg:
-            resp = self.handle_control(msg)
-            if resp:
-                self.ctrl_sock.send(resp)
-        while True:
-            d = self.data_sock.recv(512, timeout_ms=0)
-            if not d:
-                break
-            self.handle_downlink(d)
+        for c in range(self.cfg.n_arfcn):
+            msg = self.ctrl_socks[c].recv(256, timeout_ms=0)
+            if msg:
+                resp = self.handle_control(msg, c)
+                if resp:
+                    self.ctrl_socks[c].send(resp)
+            while True:
+                d = self.data_socks[c].recv(512, timeout_ms=0)
+                if not d:
+                    break
+                self.handle_downlink(d, c)
         if not self.on:
             return
-        for burst in self.step_frame():
-            self.data_sock.send(proto.pack_uplink(burst))
+        for carrier, burst in self.step_frame():
+            self.data_socks[carrier].send(proto.pack_uplink(burst))
         if (self.last_clock_fn is None or
                 (self.tx_fn - self.last_clock_fn) % HYPERFRAME
                 >= proto.CLOCK_PERIOD_FRAMES):
@@ -225,11 +261,15 @@ def main():  # pragma: no cover - manual entry point
     ap = argparse.ArgumentParser(description="TPU GSM transceiver daemon")
     ap.add_argument("--base-port", type=int, default=5700)
     ap.add_argument("--peer", default="127.0.0.1")
+    ap.add_argument("--arfcns", type=int, default=1)
     ap.add_argument("--loopback-delay", type=int, default=0)
     args = ap.parse_args()
-    daemon = TrxDaemon(LoopbackRadio(delay_samples=args.loopback_delay),
+    radios = [LoopbackRadio(delay_samples=args.loopback_delay)
+              for _ in range(args.arfcns)]
+    daemon = TrxDaemon(radios,
                        TrxDaemonConfig(base_port=args.base_port,
-                                       peer_host=args.peer))
+                                       peer_host=args.peer,
+                                       n_arfcn=args.arfcns))
     daemon.run()
 
 

@@ -96,3 +96,52 @@ def test_poweroff(rig):
     status, _ = _cmd(daemon, bts_ctrl, "POWEROFF")
     assert status == 0
     assert not daemon.on
+
+
+def test_multi_arfcn_daemon():
+    """Two carriers batched through one engine, each with its own
+    control/data port triple (the reference runs one process per ARFCN;
+    we batch them)."""
+    from openbts_ttsou_tpu.trx.radio import LoopbackRadio
+
+    base = 46700
+    daemon = TrxDaemon([LoopbackRadio(), LoopbackRadio()],
+                       TrxDaemonConfig(base_port=base, n_arfcn=2))
+    ctrls = [UdpTransport(base + 100 + 3 * i + 1, "127.0.0.1",
+                          base + 3 * i + 1) for i in range(2)]
+    datas = [UdpTransport(base + 100 + 3 * i + 2, "127.0.0.1",
+                          base + 3 * i + 2) for i in range(2)]
+    try:
+        for i, c in enumerate(ctrls):
+            for verb, args in (("RXTUNE", (890000 + i,)),
+                               ("TXTUNE", (935000 + i,)),
+                               ("SETTSC", (i,)), ("SETSLOT", (0, 1)),
+                               ("POWERON", ())):
+                c.send(proto.pack_command(verb, *args))
+                daemon.step()
+                resp = c.recv(256, timeout_ms=2000)
+                assert resp is not None
+                kind, rverb, rargs = proto.parse_message(resp)
+                assert (kind, rverb, rargs[0]) == ("RSP", verb, "0")
+        assert daemon.carrier_on == [True, True]
+        assert int(daemon.state.tsc[0]) == 0
+        assert int(daemon.state.tsc[1]) == 1
+        # send a burst on each carrier; each comes back on its own port
+        rng = np.random.default_rng(8)
+        for i, d in enumerate(datas):
+            bits = np.concatenate(
+                [[0, 0, 0], rng.integers(0, 2, 57), [1],
+                 C.TRAINING_SEQUENCE[i], [1], rng.integers(0, 2, 57),
+                 [0, 0, 0]]).astype(np.uint8)
+            d.send(proto.pack_downlink(
+                proto.DownlinkBurst(0, daemon.tx_fn + 2 + i, 0, bits)))
+        got = [0, 0]
+        for _ in range(8):
+            daemon.step()
+            for i, d in enumerate(datas):
+                while (msg := d.recv(512, timeout_ms=100)) is not None:
+                    got[i] += 1
+        assert got[0] >= 1 and got[1] >= 1, got
+    finally:
+        for s in ctrls + datas:
+            s.close()
