@@ -25,13 +25,11 @@ from openbts_ttsou_tpu.control.hlr import LocalHLR
 from openbts_ttsou_tpu.control.procedures import ControlLayer
 from openbts_ttsou_tpu.gsm import channels, tdma
 from openbts_ttsou_tpu.gsm.btsconfig import BTSConfig
-from openbts_ttsou_tpu.gsm.transfer import L2Frame, L3Frame, Primitive
+from openbts_ttsou_tpu.gsm.transfer import L2Frame, Primitive
 from openbts_ttsou_tpu.gsm.trxmanager import TransceiverManager
 from openbts_ttsou_tpu.gsm.lapdm import CCCHL2
-from openbts_ttsou_tpu.gsm import l1fec
 from openbts_ttsou_tpu.sip.interface import SIPInterface
 from openbts_ttsou_tpu.utils.config import ConfigurationTable
-from openbts_ttsou_tpu.utils.gsm_time import Time
 from openbts_ttsou_tpu.utils.logger import get_logger
 
 log = get_logger("openbts")

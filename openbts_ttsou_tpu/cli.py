@@ -10,7 +10,7 @@ so the CLI is testable without a live radio.
 from __future__ import annotations
 
 import time as systime
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 from openbts_ttsou_tpu import __version__
 from openbts_ttsou_tpu.utils.logger import gAlarms, set_level

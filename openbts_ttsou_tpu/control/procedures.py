@@ -17,7 +17,6 @@ through `sip.SIPEngine` objects attached to transactions.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Dict, Optional
 
 import numpy as np

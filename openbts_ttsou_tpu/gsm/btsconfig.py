@@ -12,10 +12,8 @@ import collections
 import threading
 from typing import Deque, List, Optional
 
-import numpy as np
-
 from openbts_ttsou_tpu.control.common import Pager
-from openbts_ttsou_tpu.gsm import channels, tdma
+from openbts_ttsou_tpu.gsm import channels
 from openbts_ttsou_tpu.gsm.l3 import rr
 from openbts_ttsou_tpu.gsm.l3.common import LAI
 from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive

@@ -25,7 +25,6 @@ from openbts_ttsou_tpu.gsm.transfer import (
     ChannelType,
     L2Frame,
     L3Frame,
-    Primitive,
     RxBurst,
     TxBurst,
 )
@@ -403,11 +402,15 @@ class TCHFACCHL1(XCCHL1):
 
 
 class LogicalChannel:
-    """L1 + SAPMux + LAPDm bundle (GSMLogicalChannel.h:65-137)."""
+    """L1 + SAPMux + LAPDm bundle, with an optional associated SACCH
+    (GSMLogicalChannel.h:65-137; SDCCHLogicalChannel carries its SACCH,
+    GSMLogicalChannel.h:249+)."""
 
     def __init__(self, l1: XCCHL1, sapis=(0,),
-                 chan_type: ChannelType = ChannelType.SDCCH):
+                 chan_type: ChannelType = ChannelType.SDCCH,
+                 sacch: "SACCHL1 | None" = None):
         self.l1 = l1
+        self.sacch = sacch
         self.mux = SAPMux()
         self.mux.attach_l1(l1)
         self.l2: Dict[int, L2LAPDm] = {}
@@ -418,9 +421,26 @@ class LogicalChannel:
                 master = l2
             self.l2[sapi] = l2
             self.mux.attach_l2(l2, sapi)
+        if sacch is not None:
+            # SACCH carries its own LAPDm (measurement reports arrive as
+            # UI frames on SAP 0)
+            self.sacch_l2 = L2LAPDm(c=1, sapi=0,
+                                    chan_type=ChannelType.SACCH)
+            mux = SAPMux()
+            mux.attach_l1(sacch)
+            mux.attach_l2(self.sacch_l2, 0)
+            self.sacch_mux = mux
 
     def open(self, fn: int = 0) -> None:
         self.l1.open(fn)
+        if self.sacch is not None:
+            self.sacch.open(fn)
+
+    def recv_sacch(self):
+        """Next measurement-report-style L3 frame from the SACCH."""
+        if self.sacch is None:
+            return None
+        return self.sacch_l2.read_high_side()
 
     def send(self, l3: L3Frame, sapi: int = 0) -> None:
         """L3 → LAPDm → L1 (LogicalChannel::send)."""

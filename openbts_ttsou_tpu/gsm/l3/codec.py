@@ -9,7 +9,7 @@ dispatching on PD and MTI, and the V/LV/TV/TLV element write helpers
 from __future__ import annotations
 
 import enum
-from typing import Callable, Dict, Optional, Type
+from typing import Dict, Optional, Type
 
 import numpy as np
 

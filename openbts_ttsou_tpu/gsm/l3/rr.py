@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 from openbts_ttsou_tpu.gsm.l3.codec import (
     BitReader,
     BitWriter,

@@ -10,7 +10,7 @@ The frame-position tables themselves are GSM 05.02 constants
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -20,7 +20,6 @@ between steps on the clock plane.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
