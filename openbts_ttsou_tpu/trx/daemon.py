@@ -219,6 +219,21 @@ class TrxDaemon:
         self.fn = (self.fn + 1) % HYPERFRAME
         return out
 
+    def measure_alignment(self, carrier: int = 0,
+                          probe_len: int = 64) -> int:
+        """Measure the radio's Tx→Rx timestamp offset with an impulse
+        probe (USRPDevice::updateAlignment, USRPDevice.cpp:518: the
+        reference pings the control channel and trims `timestampOffset`;
+        with a software radio the offset is the loopback delay)."""
+        ts = self._frame_ts(self.tx_fn) + 10_000  # quiet region
+        probe = np.zeros(probe_len, np.complex64)
+        probe[0] = 20000.0
+        self.radios[carrier].write_samples(probe, ts)
+        window = self.radios[carrier].read_samples(4 * probe_len,
+                                                   ts - probe_len)
+        peak = int(np.argmax(np.abs(window)))
+        return peak - probe_len  # samples of Tx→Rx delay
+
     def _send_clock(self) -> None:
         self.clock_sock.send(proto.pack_clock(
             (self.tx_fn + proto.CLOCK_LEAD_FRAMES) % HYPERFRAME))

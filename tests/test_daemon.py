@@ -145,3 +145,12 @@ def test_multi_arfcn_daemon():
     finally:
         for s in ctrls + datas:
             s.close()
+
+
+def test_alignment_measurement():
+    from openbts_ttsou_tpu.trx.radio import LoopbackRadio
+
+    daemon = TrxDaemon(LoopbackRadio(delay_samples=37),
+                       TrxDaemonConfig(base_port=45800))
+    offset = daemon.measure_alignment()
+    assert offset == 37
