@@ -1,0 +1,79 @@
+// Golden-vector generator: drives the REFERENCE sigProcLib (compiled
+// from /root/reference via include paths; nothing copied into this
+// repo) through the canonical scenarios and prints the numerical
+// outputs for the parity test suite to compare against the TPU
+// framework's kernels.
+#include "sigProcLib.h"
+#include "GSMCommon.h"
+#include <cstdio>
+#include <cmath>
+
+using namespace GSM;
+
+static void dumpVec(const char *name, const signalVector &v) {
+  printf("%s %zu", name, (size_t)v.size());
+  for (size_t i = 0; i < v.size(); i++)
+    printf(" %.6g %.6g", v[i].real(), v[i].imag());
+  printf("\n");
+}
+
+static void dumpSoft(const char *name, const SoftVector &v) {
+  printf("%s %zu", name, (size_t)v.size());
+  for (size_t i = 0; i < v.size(); i++) printf(" %.6g", v[i]);
+  printf("\n");
+}
+
+int main() {
+  const int sps = 1;
+  sigProcLibSetup(sps);
+  signalVector *pulse = generateGSMPulse(2, sps);
+  dumpVec("PULSE", *pulse);
+
+  // 1. modulated normal burst (TSC 0, fixed payload)
+  BitVector burstBits(148);
+  for (unsigned i = 0; i < 148; i++) burstBits[i] = (i * 7 + 3) % 5 < 2;
+  gTrainingSequence[0].copyToSegment(burstBits, 61);
+  signalVector *mod = modulateBurst(burstBits, *pulse, 9, sps);
+  dumpVec("MODBURST", *mod);
+
+  // 2. midamble + RACH templates
+  generateMidamble(*pulse, sps, 0);
+  generateRACHSequence(*pulse, sps);
+
+  // 3. TSC detection on the clean burst
+  complex ampl;
+  float toa;
+  bool ok = analyzeTrafficBurst(*mod, 0, 3.0, sps, &ampl, &toa, false,
+                                NULL, NULL);
+  printf("TSCDET %d %.6g %.6g %.6g\n", (int)ok, ampl.real(), ampl.imag(),
+         toa);
+
+  // 4. demodulated soft bits
+  SoftVector *soft = demodulateBurst(*mod, *pulse, sps, ampl, toa);
+  dumpSoft("DEMOD", *soft);
+
+  // 5. RACH burst + detection
+  BitVector rachBits(148);
+  rachBits.zero();
+  for (unsigned i = 0; i < 8; i++) rachBits[i] = i % 2;
+  gRACHSynchSequence.copyToSegment(rachBits, 8);
+  signalVector *rach = modulateBurst(rachBits, *pulse, 9, sps);
+  complex ra;
+  float rtoa;
+  bool rok = detectRACHBurst(*rach, 5.0, sps, &ra, &rtoa);
+  printf("RACHDET %d %.6g %.6g %.6g\n", (int)rok, ra.real(), ra.imag(),
+         rtoa);
+
+  // 6. DFE design on a fixed channel
+  signalVector chan(6);
+  chan[0] = complex(1.0, 0.0);
+  chan[1] = complex(0.4, 0.1);
+  chan[2] = complex(0.1, -0.05);
+  signalVector *ff = NULL, *fb = NULL;
+  designDFE(chan, 100.0, 7, &ff, &fb);
+  dumpVec("DFEFF", *ff);
+  dumpVec("DFEFB", *fb);
+
+  sigProcLibDestroy();
+  return 0;
+}
