@@ -199,3 +199,33 @@ def test_tx_rx_loopback_recovers_bits():
     soft = np.asarray(res.soft_bits)[0]
     ber = np.mean((soft > 0.5).astype(int) != bits[0])
     assert ber < 0.01, f"loopback BER {ber}"
+
+
+def test_state_checkpoint_resume(tmp_path):
+    """Checkpoint = the TrxState pytree; resuming reproduces the exact
+    stream behavior (SURVEY §5: filter constants + stream cursor +
+    per-slot channel state)."""
+    from openbts_ttsou_tpu.trx.state_io import load_state, save_state
+
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)._replace(
+        chan_type=jnp.full((1, 8), ChanType.I, jnp.int32))
+    bits = np.stack([normal_burst_bits(seed=s) for s in range(8)])[None]
+    tx = tx_step(cfg, state, jnp.asarray(bits), jnp.ones((1, 8), bool),
+                 jnp.zeros((1, 8), jnp.float32), jnp.asarray(0))
+    state1, res1 = rx_step(cfg, state, tx)
+
+    path = str(tmp_path / "trx_state.npz")
+    save_state(path, cfg, state1)
+    cfg2, state2 = load_state(path)
+    assert cfg2 == cfg
+    for name in state1._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(state1, name)),
+                                      np.asarray(getattr(state2, name)))
+    # continuing from the restored state gives identical results
+    _, res_a = rx_step(cfg, state1, tx)
+    _, res_b = rx_step(cfg2, state2, tx)
+    np.testing.assert_array_equal(np.asarray(res_a.soft_bits),
+                                  np.asarray(res_b.soft_bits))
+    np.testing.assert_array_equal(np.asarray(res_a.detected),
+                                  np.asarray(res_b.detected))
