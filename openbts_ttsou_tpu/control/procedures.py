@@ -115,6 +115,8 @@ class ControlLayer:
             cc.Alerting: self.cc_forward,
             cc.Connect: self.mtc_connect,
             cc.ConnectAcknowledge: self.cc_forward,
+            cc.StartDTMF: self.start_dtmf,
+            cc.StopDTMF: self.stop_dtmf,
             cc.Disconnect: self.cc_disconnect,
             cc.Release: self.cc_release,
             cc.ReleaseComplete: self.cc_release_complete,
@@ -273,6 +275,23 @@ class ControlLayer:
         ack.ti = (1 << 3) | t.ti_value
         channel.send(L3Frame(ack.encode(), Primitive.DATA))
         t.set_state(Q931CallState.Active)
+
+    def start_dtmf(self, channel, msg: cc.StartDTMF):
+        """DTMF key press → SIP INFO + L3 ack (CallControl DTMF via
+        SIP INFO)."""
+        t = self._transaction_for(channel)
+        if t is not None and t.sip is not None:
+            t.sip.send_dtmf_info(msg.key)
+        # GSM 04.08 9.3.25 Start DTMF Acknowledge (MTI 0x32)
+        ack = cc.StartDTMFAck(msg.key)
+        ack.ti = (1 << 3) | (t.ti_value if t else 0)
+        channel.send(L3Frame(ack.encode(), Primitive.DATA))
+
+    def stop_dtmf(self, channel, msg: cc.StopDTMF):
+        t = self._transaction_for(channel)
+        ack = cc.StopDTMFAck()
+        ack.ti = (1 << 3) | (t.ti_value if t else 0)
+        channel.send(L3Frame(ack.encode(), Primitive.DATA))
 
     def cc_disconnect(self, channel, msg: cc.Disconnect):
         t = self._transaction_for(channel)

@@ -257,3 +257,35 @@ class StopDTMF(CCMessage):
 
     def parse_body(self, r: BitReader) -> None:
         pass
+
+
+@register
+class StartDTMFAck(CCMessage):
+    """GSM 04.08 9.3.25."""
+
+    MTI = 0x32
+
+    def __init__(self, key: str = "0"):
+        super().__init__()
+        self.key = key
+
+    def write_body(self, w: BitWriter) -> None:
+        w.octet(0x2C)
+        w.octet(ord(self.key))
+
+    def parse_body(self, r: BitReader) -> None:
+        if r.remaining() >= 16 and r.octet() == 0x2C:
+            self.key = chr(r.octet())
+
+
+@register
+class StopDTMFAck(CCMessage):
+    """GSM 04.08 9.3.29."""
+
+    MTI = 0x33
+
+    def write_body(self, w: BitWriter) -> None:
+        pass
+
+    def parse_body(self, r: BitReader) -> None:
+        pass

@@ -177,6 +177,18 @@ class SIPEngine:
         self.state = SIPState.MessageSubmit
         return self.state
 
+    def send_dtmf_info(self, key: str, duration_ms: int = 250) -> None:
+        """In-call DTMF via SIP INFO (the reference relays StartDTMF as
+        INFO application/dtmf-relay; CallControl.cpp DTMF path)."""
+        body = f"Signal={key}\r\nDuration={duration_ms}\r\n"
+        m = make_request("INFO", self.remote_user or self.username,
+                         self.username, self.proxy_host, self.proxy_port,
+                         self.local_host, self.local_port,
+                         call_id=self.call_id, cseq=self._next_cseq(),
+                         from_tag=self.from_tag, body=body,
+                         content_type="application/dtmf-relay")
+        self._transmit(m)
+
     def mtsms_send_ok(self, message: SIPMessage) -> None:
         self._send(make_response(message, 200, "OK", new_tag()).render())
 

@@ -329,3 +329,24 @@ def test_moc_with_tch_assignment(layer):
     layer.dispatch_l3(ch, cc.Disconnect().encode())
     layer.dispatch_l3(ch, cc.ReleaseComplete().encode())
     assert layer.bts.tch_available() == 1
+
+
+def test_dtmf_relay(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    setup = cc.Setup(cc.CalledPartyBCDNumber("100"))
+    layer.dispatch_l3(ch, setup.encode())
+    layer._sip_out.clear()
+    ch.sent.clear()
+    layer.dispatch_l3(ch, cc.StartDTMF("7").encode())
+    info = SIPMessage.parse(layer._sip_out.pop())
+    assert info.method == "INFO"
+    assert "Signal=7" in info.body
+    ack, _ = ch.pop_l3()
+    assert isinstance(ack, cc.StartDTMFAck) and ack.key == "7"
+    layer.dispatch_l3(ch, cc.StopDTMF().encode())
+    ack2, _ = ch.pop_l3()
+    assert isinstance(ack2, cc.StopDTMFAck)
