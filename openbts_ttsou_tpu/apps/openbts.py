@@ -182,9 +182,11 @@ class BTSApp:
         b = self.fcch.generate(fn)
         if b:
             arfcn.write_high_side(b)
-        # BCCH: SI rotation (BCCHL1Encoder::generate)
+        # BCCH: SI rotation by TC (BCCHL1Encoder::generate,
+        # GSML1FEC.cpp:977-996)
         if tdma.BCCH.reverse(fn) == 0:
-            self.ccch_l2.write_high_side(self.bts.si3_frame())
+            tc = (fn // 51) % 8
+            self.ccch_l2.write_high_side(self.bts.si_frame_for_tc(tc))
             for f in self.ccch_l2.take_l1_out():
                 self._send_ccch(self.bcch, f, fn)
         # AGCH/PCH from the queues

@@ -122,6 +122,30 @@ class BTSConfig:
         self._t3122_s = max(self._t3122_s / 2, self.t3122_min_s)
 
     # -- beacon --------------------------------------------------------
+    def si1(self) -> rr.SystemInformationType1:
+        return rr.SystemInformationType1(
+            rr.CellChannelDescription((self.arfcn or 1,)),
+            rr.RACHControlParameters())
+
+    def si2(self) -> rr.SystemInformationType2:
+        neigh = tuple(
+            int(x) for x in self.config.get_vector("GSM.Neighbors")
+        ) if self.config.defines("GSM.Neighbors") else ()
+        return rr.SystemInformationType2(
+            rr.CellChannelDescription(neigh), ncc_permitted=0xFF,
+            rach=rr.RACHControlParameters())
+
+    def si4(self) -> rr.SystemInformationType4:
+        return rr.SystemInformationType4(self.lai(),
+                                         rach=rr.RACHControlParameters())
+
+    def si_frame_for_tc(self, tc: int) -> L3Frame:
+        """SI rotation by TC (BCCHL1Encoder::generate,
+        GSML1FEC.cpp:977-996): 1,2,3,4,3,2,3,4."""
+        seq = [self.si1, self.si2, self.si3, self.si4,
+               self.si3, self.si2, self.si3, self.si4]
+        return L3Frame(seq[tc % 8]().encode(), Primitive.UNIT_DATA)
+
     def si3(self) -> rr.SystemInformationType3:
         return rr.SystemInformationType3(
             cell_id=self.cell_id, lai=self.lai(),

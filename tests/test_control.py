@@ -350,3 +350,15 @@ def test_dtmf_relay(layer):
     layer.dispatch_l3(ch, cc.StopDTMF().encode())
     ack2, _ = ch.pop_l3()
     assert isinstance(ack2, cc.StopDTMFAck)
+
+
+def test_si_rotation():
+    bts = BTSConfig()
+    from openbts_ttsou_tpu.gsm.l3 import parse_l3 as p3
+
+    kinds = [type(p3(bts.si_frame_for_tc(tc).bits)).__name__
+             for tc in range(8)]
+    assert kinds == ["SystemInformationType1", "SystemInformationType2",
+                     "SystemInformationType3", "SystemInformationType4",
+                     "SystemInformationType3", "SystemInformationType2",
+                     "SystemInformationType3", "SystemInformationType4"]
