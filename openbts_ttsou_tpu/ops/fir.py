@@ -49,6 +49,25 @@ def _as_2d(x: Array):
     return x2, lead
 
 
+# Convolution backend: "conv" uses lax.conv_general_dilated; "einsum"
+# lowers everything to window-gather contractions (pure MXU matmuls) —
+# useful where the conv op is slow or unsupported. "auto" follows the
+# OPENBTS_TPU_CONV env var, defaulting to conv.
+import os
+
+CONV_IMPL = os.environ.get("OPENBTS_TPU_CONV", "conv")
+
+
+def _windows(a: Array, lb: int, stride: int = 1,
+             pad: tuple[int, int] = (0, 0)) -> Array:
+    """[B, T] → sliding windows [B, n_out, lb] (zero-padded)."""
+    ap = jnp.pad(a, ((0, 0), pad))
+    t = ap.shape[-1]
+    n_out = (t - lb) // stride + 1
+    idx = (np.arange(n_out)[:, None] * stride + np.arange(lb)[None, :])
+    return ap[:, jnp.asarray(idx)]
+
+
 def _real_conv_full(a: Array, b: Array) -> Array:
     """Real full convolution along the last axis.
 
@@ -61,6 +80,10 @@ def _real_conv_full(a: Array, b: Array) -> Array:
     bk = jnp.flip(b, axis=-1)  # XLA convs are cross-correlations
     pad = [(Lb - 1, Lb - 1)]
     if b.ndim == 1:
+        if CONV_IMPL == "einsum":
+            wins = _windows(a, Lb, pad=(Lb - 1, Lb - 1))
+            return jnp.einsum("btj,j->bt", wins, bk,
+                              precision=lax.Precision.HIGHEST)
         out = lax.conv_general_dilated(
             a[:, None, :], bk[None, None, :], (1,), pad,
             precision=lax.Precision.HIGHEST,
@@ -268,6 +291,13 @@ def polyphase_resample_mm(x: Array, p: int, q: int, lpf: Array, *,
     rhs = jnp.asarray(_polyphase_filter_bank(p, q, lpf_np))
 
     def _plane(xr):
+        if CONV_IMPL == "einsum":
+            # strided windows [B, M, K'] × bank [p, K'] → [B, M, p]
+            wins = _windows(xr, k_prime, stride=q,
+                            pad=(pad_left, pad_right))[:, :m_cycles]
+            out = jnp.einsum("bmu,pu->bmp", wins, rhs[:, 0, :],
+                             precision=lax.Precision.HIGHEST)
+            return out.reshape(out.shape[0], -1)[:, :n_out]
         out = lax.conv_general_dilated(
             xr[:, None, :], rhs, window_strides=(q,),
             padding=[(pad_left, pad_right)],

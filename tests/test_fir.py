@@ -91,3 +91,22 @@ def test_polyphase_round_trip_preserves_burst():
     soft = np.asarray(gmsk.demodulate_burst(down[None, :148], sps, 1.0 + 0j, 0.0))[0]
     ber = np.mean((soft > 0.5).astype(int) != bits)
     assert ber < 0.01, f"round-trip BER {ber}"
+
+
+def test_einsum_conv_backend_equivalence(monkeypatch):
+    """The conv-free (window-gather einsum) backend must match the
+    conv_general_dilated backend exactly."""
+    a = _rand_complex(3, 80)
+    b_shared = _rand_complex(21)
+    x = _rand_complex(2, 24000)
+    lpf = fir.resampler_lpf(65, 96, 961)
+
+    ref_conv = np.asarray(fir.convolve(a, b_shared, "full"))
+    ref_poly = np.asarray(fir.polyphase_resample(x, 65, 96, lpf))
+
+    monkeypatch.setattr(fir, "CONV_IMPL", "einsum")
+    got_conv = np.asarray(fir.convolve(a, b_shared, "full"))
+    got_poly = np.asarray(fir.polyphase_resample(x, 65, 96, lpf))
+    np.testing.assert_allclose(got_conv, ref_conv, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_poly, ref_poly, rtol=2e-4,
+                               atol=2e-4 * np.abs(ref_poly).max())
