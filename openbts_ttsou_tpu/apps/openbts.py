@@ -83,7 +83,9 @@ class BTSApp:
             dl, ul = tdma.SDCCH_8[i]
             l1 = channels.XCCHL1(0, dl, ul, tsc=self.bts.bcc)
             l1.subchannel = i
-            ch = channels.LogicalChannel(l1, sapis=(0, 3))
+            sa_dl, sa_ul = tdma.SACCH_C8[i]
+            sacch = channels.SACCHL1(0, sa_dl, sa_ul, tsc=self.bts.bcc)
+            ch = channels.LogicalChannel(l1, sapis=(0, 3), sacch=sacch)
             self.bts.add_sdcch(ch)
             self.dcch.append(ch)
         n_tch = c.get_int("GSM.NumTCH", 2)
@@ -95,6 +97,8 @@ class BTSApp:
         arfcn.install_decoder(self.rach)
         for ch in self.dcch:
             arfcn.install_decoder(ch.l1)
+            if ch.sacch is not None:
+                arfcn.install_decoder(ch.sacch)
         self._last_fn = -1
         self._beacon_fn = 0
 
@@ -153,6 +157,18 @@ class BTSApp:
                     break
                 if l3.primitive == Primitive.DATA and len(l3.bits) >= 16:
                     self.control.dispatch_l3(ch, l3.bits)
+            while True:
+                l3 = ch.recv_sacch()
+                if l3 is None:
+                    break
+                from openbts_ttsou_tpu.gsm.l3 import parse_l3, rr as rr_l3
+
+                msg = parse_l3(l3.bits) if len(l3.bits) >= 16 else None
+                if isinstance(msg, rr_l3.MeasurementReport):
+                    # feed downlink power control with RXLEV (the
+                    # SACCH measurement path, GSML1FEC.cpp:685-695)
+                    ch.sacch.ordered_ms_power = max(
+                        5, min(33, 33 - (msg.rxlev_full - 40) // 4))
             while True:
                 l3 = ch.recv(3)  # SMS SAP
                 if l3 is None:

@@ -186,3 +186,49 @@ class SMq:
         for m in requeue:
             heapq.heappush(self._heap, m)
         return actions
+
+
+def main():  # pragma: no cover - manual entry point
+    """Run smqueue as a standalone daemon over UDP (smqueue.cpp:1819)."""
+    import argparse
+    import time as systime
+
+    from openbts_ttsou_tpu.runtime import UdpTransport
+    from openbts_ttsou_tpu.sip.message import SIPMessage
+
+    ap = argparse.ArgumentParser(description="SMS store-and-forward")
+    ap.add_argument("--port", type=int, default=5063)
+    ap.add_argument("--relay-host", default="127.0.0.1")
+    ap.add_argument("--relay-port", type=int, default=5062)
+    args = ap.parse_args()
+    sock = UdpTransport(args.port, args.relay_host, args.relay_port)
+    registry: dict[str, str] = {}
+
+    smq = SMq(send=lambda to, req: sock.send(req.encode()),
+              resolve=lambda u: u if (u in registry or u.isdigit())
+              else None,
+              local_port=args.port)
+    log.warning("smqueue listening on %d", args.port)
+    while True:
+        data = sock.recv(4096, timeout_ms=200)
+        if data:
+            try:
+                msg = SIPMessage.parse(data)
+            except Exception:
+                continue
+            if msg.is_request and msg.method == "MESSAGE":
+                sock.send(smq.handle_sip_message(msg).render())
+            elif msg.is_request and msg.method == "REGISTER":
+                user = msg.uri_user("from") or ""
+                registry[user] = user
+                from openbts_ttsou_tpu.sip.message import make_response
+
+                sock.send(make_response(msg, 200, "OK").render())
+            elif not msg.is_request:
+                smq.handle_delivery_response(msg.call_id() or "",
+                                             msg.status)
+        smq.process_queue()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
