@@ -151,3 +151,13 @@ def test_sharded_pipeline_matches_serial():
     # soft bits match the serial chain bit-for-bit (same kernels)
     np.testing.assert_allclose(soft_sh[interior], soft_serial[interior],
                                atol=5e-3)
+
+
+def test_distributed_helpers_single_process():
+    from openbts_ttsou_tpu.parallel import distributed
+
+    distributed.initialize()  # no-op without a coordinator
+    mesh = make_mesh(8)
+    cs, ts = distributed.host_local_shard((8, 4), mesh)
+    # single process owns everything
+    assert cs == slice(0, 8) and ts == slice(0, 4)
