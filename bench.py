@@ -30,7 +30,7 @@ def measure_cpu_baseline() -> float:
     exe = os.path.join(REPO, "bench", "cpu_baseline")
     src = os.path.join(REPO, "bench", "cpu_baseline.cpp")
     subprocess.run(["g++", "-O3", "-march=native", "-o", exe, src], check=True)
-    out = subprocess.run([exe, "40"], check=True, capture_output=True,
+    out = subprocess.run([exe, "400"], check=True, capture_output=True,
                         text=True).stdout.strip()
     data = json.loads(out)
     with open(BASELINE_CACHE, "w") as f:

@@ -36,7 +36,8 @@ from openbts_ttsou_tpu.ops import correlate as xcorr
 from openbts_ttsou_tpu.ops import dfe as dfe_mod
 from openbts_ttsou_tpu.ops import gmsk
 from openbts_ttsou_tpu.utils import constants as C
-from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME, SLOT_SAMPLE_PATTERN
+from openbts_ttsou_tpu.utils.gsm_time import (HYPERFRAME,
+    SLOT_SAMPLE_PATTERN, fn_delta)
 
 Array = jax.Array
 
@@ -230,7 +231,7 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
 
     # --- channel state update (cpp:315-346) ---------------------------
-    frames_since_est = (fn - state.chan_estimate_fn)  # [C,8] (modular ok)
+    frames_since_est = fn_delta(fn, state.chan_estimate_fn)  # [C,8]
     want_est = ((frames_since_est > 50) | ~state.chan_valid) & \
         need_dfe[:, None]
     do_est = want_est.reshape(-1) & is_tsc & success
@@ -267,7 +268,7 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     succ2 = success.reshape(c, 8)
     act2 = active
     for tn in range(8):
-        frames_elapsed = (fn - prev_false).astype(jnp.float32)
+        frames_elapsed = fn_delta(fn, prev_false).astype(jnp.float32)
         low_energy = act2[:, tn] & ~gate2[:, tn]
         quiet = low_energy & (frames_elapsed > 50)
         e_thr = jnp.where(quiet, e_thr - 10.0, e_thr)
