@@ -43,6 +43,7 @@ def main():
 
     n_chan = int(os.environ.get("BENCH_CHANNELS", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact
 
     baseline_sps = measure_cpu_baseline()
 
@@ -57,7 +58,11 @@ def main():
 
     import jax.numpy as jnp
 
-    from openbts_ttsou_tpu.models.transceiver import UplinkSpec, uplink_block
+    from openbts_ttsou_tpu.models.transceiver import (
+        UplinkSpec,
+        uplink_block,
+        uplink_block_fast,
+    )
     from openbts_ttsou_tpu.ops import gmsk
     from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
     from openbts_ttsou_tpu.utils import constants as C
@@ -96,10 +101,12 @@ def main():
     # true synchronization).
     import jax.lax as lax
 
+    block_fn = uplink_block_fast if mode == "fast" else uplink_block
+
     @jax.jit
     def fused(state, samples):
         def body(st, _):
-            st, res = uplink_block(cfg, spec, st, samples)
+            st, res = block_fn(cfg, spec, st, samples)
             return st, (jnp.sum(res.soft_bits[..., 0]),
                         jnp.sum(res.detected))
         st, (probes, dets) = lax.scan(body, state, None, length=iters)
@@ -137,6 +144,7 @@ def main():
         "detail": {
             "n_chan": n_chan,
             "iters": iters,
+            "mode": mode,
             "seconds": round(dt, 4),
             "fetch_rtt_s": round(fetch_rtt, 4),
             "detections_last_block": detected,

@@ -71,6 +71,131 @@ def uplink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
+def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
+                      state: eng.TrxState, samples: Array
+                      ) -> tuple[eng.TrxState, eng.RxResult]:
+    """Throughput-mode uplink block: every burst of the block runs
+    through detection/equalization/demod in ONE batch.
+
+    Semantics vs the exact per-frame scan (`uplink_block`): adaptive
+    thresholds and channel/DFE state are taken from the block start and
+    updated once per block (a ≤13-frame refresh lag). The reference
+    itself re-estimates channels only every 50 frames
+    (Transceiver52M/Transceiver.cpp:313) and drifts its energy threshold
+    slowly, so the operational behavior is unchanged — but the
+    sequential depth drops from frames·157 to 157 scan steps per block,
+    which is what the MXU-parallel layout wants.
+    """
+    from openbts_ttsou_tpu.ops import correlate as xcorr
+    from openbts_ttsou_tpu.ops import dfe as dfe_mod
+    from openbts_ttsou_tpu.ops import gmsk as gmsk_mod
+    from openbts_ttsou_tpu.parallel.sharded import _slot_windows
+
+    c, sps = cfg.n_chan, cfg.sps
+    f = spec.frames
+    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)
+    sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
+    wins = _slot_windows(sym[..., : spec.block_symbols], f)  # [F, C, 8, T]
+    bursts = wins.reshape((-1, wins.shape[-1]))  # [F·C·8, T]
+    n = bursts.shape[0]
+
+    fns = (state.fn + jnp.arange(f)) % HYPERFRAME  # [F]
+    corr_type = jax.vmap(
+        lambda fn: eng.expected_corr_type(state.chan_type, fn))(fns)
+    is_tsc = (corr_type == eng.CorrType.TSC).reshape(-1)
+    is_rach = (corr_type == eng.CorrType.RACH).reshape(-1)
+
+    thr = jnp.tile(jnp.repeat(state.energy_threshold, 8), f)
+    has_energy, _ = xcorr.energy_detect(bursts, 20 * sps, thr)
+
+    tsc_flat = jnp.tile(jnp.repeat(state.tsc, 8), f)
+    det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
+        bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
+        estimate_channel=True)
+    det_rach = xcorr.detect_rach(bursts, sps,
+                                 threshold=cfg.rach_threshold)
+
+    success = has_energy & jnp.where(
+        is_tsc, det_tsc.detected,
+        jnp.where(is_rach, det_rach.detected, False))
+    amplitude = jnp.where(is_tsc, det_tsc.amplitude, det_rach.amplitude)
+    toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
+
+    # demod + equalize for the WHOLE block at once
+    soft_plain = gmsk_mod.demodulate_burst(bursts, sps, amplitude, toa)
+    need_dfe = jnp.tile(jnp.repeat(state.max_expected_delay > 1, 8), f)
+    use_dfe = is_tsc & need_dfe & jnp.tile(
+        state.chan_valid.reshape(-1), f)
+    scaled = bursts / jnp.where(amplitude == 0, 1.0, amplitude)[:, None]
+    dfe_w = jnp.tile(state.dfe_forward.reshape(c * 8, -1), (f, 1))
+    dfe_b = jnp.tile(state.dfe_feedback.reshape(c * 8, -1), (f, 1))
+    off_b = jnp.tile(state.chan_resp_offset.reshape(-1), f)
+    soft_eq = dfe_mod.equalize_burst(scaled, toa - off_b, sps, dfe_w,
+                                     dfe_b)
+    k = 148
+    soft = jnp.where(use_dfe[:, None], soft_eq[:, :k], soft_plain[:, :k])
+    soft = jnp.where(success[:, None], soft, 0.5)
+
+    amp_abs = jnp.maximum(jnp.abs(amplitude), 1e-9)
+    rssi = jnp.floor(20.0 * jnp.log10(cfg.rssi_full_scale / amp_abs)
+                     ).astype(jnp.int32)
+    timing = jnp.round(toa * 256.0 / sps).astype(jnp.int32)
+
+    # once-per-block state refresh: last successful TSC estimate per
+    # (chan, slot) updates the channel/DFE state; thresholds get the
+    # net block adjustment
+    succ_f = success.reshape(f, c, 8)
+    est_ok = (det_tsc.detected & is_tsc & has_energy).reshape(f, c, 8)
+    last = jnp.argmax(jnp.cumsum(est_ok, axis=0) *
+                      est_ok, axis=0)  # last True index (0 if none)
+    any_est = est_ok.any(axis=0)
+    flat_last = (last * c * 8
+                 + jnp.arange(c * 8).reshape(c, 8)).reshape(-1)
+    new_amp = amplitude[flat_last].reshape(c, 8)
+    chan_norm = (chan_est / jnp.where(amplitude == 0, 1.0,
+                                      amplitude)[:, None])[flat_last]
+    snr_new = (jnp.abs(amplitude) ** 2 /
+               (thr * thr + 1.0))[flat_last].reshape(c, 8)
+    w_new, b_new = dfe_mod.design_dfe(chan_norm,
+                                      jnp.maximum(snr_new.reshape(-1),
+                                                  1e-6), eng.DFE_NF)
+
+    def upd(old, new):
+        m = any_est.reshape((c, 8) + (1,) * (old.ndim - 2))
+        return jnp.where(m, new.reshape(old.shape), old)
+
+    hits = succ_f.sum(axis=(0, 2))  # per-chan detections in block
+    misses = (has_energy.reshape(f, c, 8) & ~succ_f &
+              (corr_type != eng.CorrType.OFF).reshape(f, c, 8) &
+              (corr_type != eng.CorrType.IDLE).reshape(f, c, 8)
+              ).sum(axis=(0, 2))
+    e_thr = jnp.maximum(state.energy_threshold - hits.astype(jnp.float32),
+                        0.0) + 10.0 * jnp.minimum(
+        misses.astype(jnp.float32), 1.0)
+
+    new_state = state._replace(
+        fn=(state.fn + f) % HYPERFRAME,
+        energy_threshold=e_thr,
+        chan_valid=state.chan_valid | any_est,
+        chan_response=upd(state.chan_response, chan_norm),
+        chan_amplitude=upd(state.chan_amplitude, new_amp),
+        chan_resp_offset=upd(state.chan_resp_offset,
+                             chan_off[flat_last].reshape(c, 8)),
+        snr=upd(state.snr, snr_new),
+        dfe_forward=upd(state.dfe_forward, w_new),
+        dfe_feedback=upd(state.dfe_feedback, b_new),
+    )
+    res = eng.RxResult(
+        detected=success.reshape(f, c, 8),
+        is_rach=(success & is_rach).reshape(f, c, 8),
+        soft_bits=soft.reshape(f, c, 8, k),
+        rssi=rssi.reshape(f, c, 8),
+        timing=timing.reshape(f, c, 8),
+    )
+    return new_state, res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def downlink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
                    bits: Array, valid: Array, atten_db: Array,
                    fn0: Array) -> Array:

@@ -97,3 +97,42 @@ def test_transceiver_wrapper_control_verbs():
     res = trx.rx_frame(frame)
     assert not np.asarray(res.detected).any()
     assert int(trx.state.fn) == 1
+
+
+def test_uplink_block_fast_matches_exact():
+    """Throughput mode must match the exact per-frame scan when no DFE
+    state evolves (max_expected_delay=0), and recover the same bursts
+    when it does."""
+    from openbts_ttsou_tpu.models.transceiver import uplink_block_fast
+
+    cfg = TrxConfig(n_chan=2)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.zeros((2, 8), np.int32)
+    chan_type[:, 2] = ChanType.I
+    chan_type[:, 0] = ChanType.IV
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    sym = np.zeros((2, spec.block_symbols), np.complex64)
+    planted = {}
+    for c in range(2):
+        for f in range(1, 12, 3):
+            bits = normal_burst_bits(seed=7 * c + f)
+            wave = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1))[0]
+            sym[c, f * 1250 + 313: f * 1250 + 313 + 148] += wave
+            planted[(c, f)] = bits
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : spec.block_in])
+
+    st_a, res_a = uplink_block(cfg, spec, state, dev)
+    st_b, res_b = uplink_block_fast(cfg, spec, state, dev)
+    np.testing.assert_array_equal(np.asarray(res_a.detected),
+                                  np.asarray(res_b.detected))
+    np.testing.assert_allclose(np.asarray(res_a.soft_bits),
+                               np.asarray(res_b.soft_bits), atol=1e-3)
+    assert int(st_b.fn) == 13
+    det = np.asarray(res_b.detected)
+    soft = np.asarray(res_b.soft_bits)
+    for (c, f), bits in planted.items():
+        assert det[f, c, 2]
+        assert np.mean((soft[f, c, 2] > 0.5).astype(int) != bits) < 0.02
