@@ -70,12 +70,12 @@ def uplink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
     return lax.scan(frame_step, state, wins)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
-                      state: eng.TrxState, samples: Array
-                      ) -> tuple[eng.TrxState, eng.RxResult]:
-    """Throughput-mode uplink block: every burst of the block runs
-    through detection/equalization/demod in ONE batch.
+def process_block_fast(cfg: eng.TrxConfig, frames: int,
+                       state: eng.TrxState, sym: Array
+                       ) -> tuple[eng.TrxState, eng.RxResult]:
+    """Throughput-mode block receiver on a symbol-rate stream: every
+    burst of the block runs through detection/equalization/demod in ONE
+    batch.
 
     Semantics vs the exact per-frame scan (`uplink_block`): adaptive
     thresholds and channel/DFE state are taken from the block start and
@@ -92,10 +92,8 @@ def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
     from openbts_ttsou_tpu.parallel.sharded import _slot_windows
 
     c, sps = cfg.n_chan, cfg.sps
-    f = spec.frames
-    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)
-    sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
-    wins = _slot_windows(sym[..., : spec.block_symbols], f)  # [F, C, 8, T]
+    f = frames
+    wins = _slot_windows(sym, f)  # [F, C, 8, T]
     bursts = wins.reshape((-1, wins.shape[-1]))  # [F·C·8, T]
     n = bursts.shape[0]
 
@@ -193,6 +191,17 @@ def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
         timing=timing.reshape(f, c, 8),
     )
     return new_state, res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
+                      state: eng.TrxState, samples: Array
+                      ) -> tuple[eng.TrxState, eng.RxResult]:
+    """Resampler front-end + `process_block_fast`."""
+    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)
+    sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
+    return process_block_fast(cfg, spec.frames, state,
+                              sym[..., : spec.block_symbols])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))

@@ -84,7 +84,8 @@ def state_for_shards(state: eng.TrxState, n_time_shards: int) -> eng.TrxState:
 
 
 def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
-                            spec: ShardedPipelineSpec):
+                            spec: ShardedPipelineSpec,
+                            mode: str = "exact"):
     """Build the jitted sharded step.
 
     Returns ``step(state_sh, samples, fn0) -> (state_sh, result, clock)``
@@ -138,10 +139,18 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         fn_start = fn0 + t_idx * spec.frames_per_shard
         state = state._replace(fn=(fn_start).astype(jnp.int32))
 
-        def frame_step(st, frame):
-            return eng.rx_step(cfg_local, st, frame)
+        if mode == "fast":
+            from openbts_ttsou_tpu.models.transceiver import (
+                process_block_fast,
+            )
 
-        state, results = lax.scan(frame_step, state, wins)
+            state, results = process_block_fast(
+                cfg_local, spec.frames_per_shard, state, sym)
+        else:
+            def frame_step(st, frame):
+                return eng.rx_step(cfg_local, st, frame)
+
+            state, results = lax.scan(frame_step, state, wins)
         # 4. clock plane: agree on total samples consumed
         clock = lax.psum(
             jnp.asarray(samples.shape[-1], jnp.int32) *

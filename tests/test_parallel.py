@@ -161,3 +161,28 @@ def test_distributed_helpers_single_process():
     cs, ts = distributed.host_local_shard((8, 4), mesh)
     # single process owns everything
     assert cs == slice(0, 8) and ts == slice(0, 4)
+
+
+def test_sharded_pipeline_fast_mode():
+    mesh = make_mesh(4)
+    n_time = mesh.shape["time"]
+    cfg = TrxConfig(n_chan=2)
+    spec = ShardedPipelineSpec(n_chan_total=2, frames_per_shard=13)
+    ct = np.zeros((2, 8), np.int32)
+    ct[:, 1] = ChanType.I
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(ct))
+    sym = np.zeros((2, n_time * spec.frames_per_shard * 1250), np.complex64)
+    bits = normal_burst_bits(seed=3)
+    wave = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1))[0]
+    for f in range(2, n_time * 13, 4):
+        sym[:, f * 1250 + 157: f * 1250 + 157 + 148] += wave
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : n_time * spec.block_in])
+    step = sharded_uplink_pipeline(mesh, cfg, spec, mode="fast")
+    st, res, clock = step(state_for_shards(state, n_time), dev,
+                          jnp.asarray(0, jnp.int32))
+    det = np.asarray(res.detected)
+    hits = sum(bool(det[f, c, 1]) for f in range(2, n_time * 13 - 1, 4)
+               for c in range(2))
+    assert hits >= 10, hits
