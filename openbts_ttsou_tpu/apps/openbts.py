@@ -78,12 +78,14 @@ class BTSApp:
         self.rach = channels.RACHL1(0, self.bts.bsic(),
                                     self.control.handle_rach)
         self.dcch: List[channels.LogicalChannel] = []
+        # SDCCH/4 on the C-V beacon slot (OpenBTS.cpp:215-259 builds the
+        # beacon + SDCCH/4 set; combination V carries the RACH)
         n_sdcch = c.get_int("GSM.NumSDCCH", 4)
-        for i in range(min(n_sdcch, 8)):
-            dl, ul = tdma.SDCCH_8[i]
+        for i in range(min(n_sdcch, 4)):
+            dl, ul = tdma.SDCCH_4[i]
             l1 = channels.XCCHL1(0, dl, ul, tsc=self.bts.bcc)
             l1.subchannel = i
-            sa_dl, sa_ul = tdma.SACCH_C8[i]
+            sa_dl, sa_ul = tdma.SACCH_C4[i]
             sacch = channels.SACCHL1(0, sa_dl, sa_ul, tsc=self.bts.bcc)
             ch = channels.LogicalChannel(l1, sapis=(0, 3), sacch=sacch)
             self.bts.add_sdcch(ch)
@@ -119,7 +121,7 @@ class BTSApp:
         ok &= a.tune(arfcn_khz, arfcn_khz + 45000)
         ok &= a.set_power(0)
         ok &= a.set_max_delay(4)
-        ok &= a.set_slot(0, 7)  # C-VII beacon+SDCCH slot
+        ok &= a.set_slot(0, 5)  # C-V beacon slot (OpenBTS.cpp:213)
         ok &= a.power_on()
         return ok
 

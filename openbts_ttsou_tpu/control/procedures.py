@@ -85,7 +85,7 @@ class ControlLayer:
         self.bts.shrink_t3122()
         sub = getattr(channel.l1, "subchannel", 0)
         desc = rr.ChannelDescription(
-            type_and_offset=8 + sub,  # SDCCH/8 + subchannel
+            type_and_offset=4 + sub,  # SDCCH/4 + subchannel (C-V slot)
             tn=channel.l1.tn, tsc=self.bts.bcc, arfcn=self.bts.arfcn)
         ta = max(0, min(63, int(round(timing_error))))
         msg = rr.ImmediateAssignment(
