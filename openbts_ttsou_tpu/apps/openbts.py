@@ -88,6 +88,8 @@ class BTSApp:
             sa_dl, sa_ul = tdma.SACCH_C4[i]
             sacch = channels.SACCHL1(0, sa_dl, sa_ul, tsc=self.bts.bcc)
             ch = channels.LogicalChannel(l1, sapis=(0, 3), sacch=sacch)
+            l1.clock = self.bts.clock.fn
+            sacch.clock = self.bts.clock.fn
             self.bts.add_sdcch(ch)
             self.dcch.append(ch)
         n_tch = c.get_int("GSM.NumTCH", 2)
@@ -150,8 +152,12 @@ class BTSApp:
         self.trx.poll_clock(timeout_ms=0)
         arfcn = self.trx.arfcn(0)
         arfcn.drive_rx(timeout_ms=0)
+        fn_now = self.bts.clock.fn()
         # drain decoded L3 from dedicated channels into Control
         for ch in self.dcch:
+            ch.l1.resync(fn_now)
+            if ch.sacch is not None:
+                ch.sacch.resync(fn_now)
             ch.pump()
             while True:
                 l3 = ch.recv(0)

@@ -71,6 +71,7 @@ class L1Channel:
         self.tx_queue: Deque[TxBurst] = collections.deque()
         self.next_write_fn = 0
         self.active = False
+        self.clock = None  # optional callable → current FN (gBTS.time)
         # uplink physical measurements (L1Decoder::setPhy)
         self.rssi_sum = 0.0
         self.timing_sum = 0.0
@@ -97,13 +98,30 @@ class L1Channel:
 
     def _schedule(self, bursts: np.ndarray, fn: int) -> int:
         """Queue 148-bit bursts at consecutive mapped frame numbers
-        (rollForward, GSML1FEC.cpp:205)."""
+        (rollForward, GSML1FEC.cpp:205; resync against the BTS clock
+        like L1Encoder::resync before transmitting)."""
+        if self.clock is not None:
+            from openbts_ttsou_tpu.utils.gsm_time import fn_delta
+
+            now = self.clock()
+            if fn_delta(fn, now + 3) < 0:
+                fn = (now + 3) % HYPERFRAME
         for b in np.atleast_2d(bursts):
             fn = self.downlink.next_write_time(fn)
             self.tx_queue.append(TxBurst(np.asarray(b, np.uint8), fn,
                                          self.tn))
             fn += 1
         return fn
+
+    def resync(self, fn_now: int, lead: int = 3) -> None:
+        """Jump the write pointer forward if it lags the clock
+        (L1Encoder::resync, GSML1FEC.cpp: mNextWriteTime vs gBTS.time).
+        Without this, bursts scheduled after an idle period land in the
+        past and are dropped as stale."""
+        from openbts_ttsou_tpu.utils.gsm_time import fn_delta
+
+        if fn_delta(self.next_write_fn, fn_now + lead) < 0:
+            self.next_write_fn = (fn_now + lead) % HYPERFRAME
 
     def pop_due(self, fn: int) -> Optional[TxBurst]:
         """The burst scheduled for frame fn, if any."""

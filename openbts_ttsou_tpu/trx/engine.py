@@ -123,22 +123,26 @@ def init_state(cfg: TrxConfig) -> TrxState:
         mod = gmsk.modulate_burst_np(C.DUMMY_BURST[None], sps,
                                      guard_len=guard)[0]
         dummy[tn, : len(mod)] = mod * cfg.tx_full_scale
+    # All leaves are numpy-sourced: eager on-device constant creation
+    # (tiny convert_element_type/broadcast programs) is the one thing
+    # some remote backends cannot run, while host→device transfers of
+    # real buffers always work.
     return TrxState(
-        fn=jnp.asarray(0, jnp.int32),
-        chan_type=jnp.zeros((c, 8), jnp.int32),
-        tsc=jnp.zeros((c,), jnp.int32),
-        max_expected_delay=jnp.zeros((c,), jnp.int32),
-        energy_threshold=jnp.full((c,), C.INITIAL_ENERGY_THRESHOLD,
-                                  jnp.float32),
-        prev_false_detect_fn=jnp.zeros((c,), jnp.int32),
-        chan_valid=jnp.zeros((c, 8), bool),
-        chan_response=jnp.zeros((c, 8, nw), jnp.complex64),
-        chan_resp_offset=jnp.zeros((c, 8), jnp.float32),
-        chan_amplitude=jnp.ones((c, 8), jnp.complex64),
-        snr=jnp.ones((c, 8), jnp.float32),
-        dfe_forward=jnp.zeros((c, 8, DFE_NF), jnp.complex64),
-        dfe_feedback=jnp.zeros((c, 8, nw - 1), jnp.complex64),
-        chan_estimate_fn=jnp.zeros((c, 8), jnp.int32),
+        fn=jnp.asarray(np.int32(0)),
+        chan_type=jnp.asarray(np.zeros((c, 8), np.int32)),
+        tsc=jnp.asarray(np.zeros((c,), np.int32)),
+        max_expected_delay=jnp.asarray(np.zeros((c,), np.int32)),
+        energy_threshold=jnp.asarray(
+            np.full((c,), C.INITIAL_ENERGY_THRESHOLD, np.float32)),
+        prev_false_detect_fn=jnp.asarray(np.zeros((c,), np.int32)),
+        chan_valid=jnp.asarray(np.zeros((c, 8), bool)),
+        chan_response=jnp.asarray(np.zeros((c, 8, nw), np.complex64)),
+        chan_resp_offset=jnp.asarray(np.zeros((c, 8), np.float32)),
+        chan_amplitude=jnp.asarray(np.ones((c, 8), np.complex64)),
+        snr=jnp.asarray(np.ones((c, 8), np.float32)),
+        dfe_forward=jnp.asarray(np.zeros((c, 8, DFE_NF), np.complex64)),
+        dfe_feedback=jnp.asarray(np.zeros((c, 8, nw - 1), np.complex64)),
+        chan_estimate_fn=jnp.asarray(np.zeros((c, 8), np.int32)),
         filler=jnp.asarray(np.broadcast_to(dummy, (c, 8, SLOT_SAMPLES * sps))
                            .copy()),
     )

@@ -93,3 +93,34 @@ class ReplayRadio(Radio):
         if self.capture_tx:
             self.tx_log.append((ts, np.asarray(iq, np.complex64).copy()))
         return len(iq)
+
+
+class DuplexLoopbackRadio(Radio):
+    """Separate uplink/downlink sample rings for full MS simulation:
+    the BTS transceiver writes downlink and reads uplink; a simulated
+    MS does the opposite (the two directions of SWLOOPBACK that the
+    reference multiplexes through one buffer)."""
+
+    def __init__(self, capacity: int = 1 << 21):
+        from openbts_ttsou_tpu.runtime import SampleRing
+
+        self.dl = SampleRing(capacity)
+        self.ul = SampleRing(capacity)
+
+    # BTS side (the Radio contract)
+    def write_samples(self, iq: np.ndarray, ts: int) -> int:
+        iq = np.asarray(iq, np.complex64)
+        scaled = np.clip(np.stack([iq.real, iq.imag], -1), -32767, 32767)
+        return self.dl.write(scaled.astype(np.int16), ts)
+
+    def read_samples(self, n: int, ts: int) -> np.ndarray:
+        return self.ul.read_complex(n, ts)
+
+    # MS side
+    def ms_write(self, iq: np.ndarray, ts: int) -> int:
+        iq = np.asarray(iq, np.complex64)
+        scaled = np.clip(np.stack([iq.real, iq.imag], -1), -32767, 32767)
+        return self.ul.write(scaled.astype(np.int16), ts)
+
+    def ms_read(self, n: int, ts: int) -> np.ndarray:
+        return self.dl.read_complex(n, ts)
