@@ -144,6 +144,8 @@ class ControlLayer:
         channel.send(L3Frame(rr.ChannelRelease(cause).encode(),
                              Primitive.DATA))
         self.channel_transactions.pop(id(channel), None)
+        if hasattr(channel, "reset"):
+            channel.reset()  # hard release the data links for reuse
         self.bts.release(channel)
 
     # ------------------------------------------------------------------

@@ -454,6 +454,14 @@ class LogicalChannel:
         if self.sacch is not None:
             self.sacch.open(fn)
 
+    def reset(self) -> None:
+        """Hard-release all LAPDm entities (the HARDRELEASE primitive,
+        GSMTransfer.h:72) so the channel can be reallocated cleanly."""
+        for l2 in self.l2.values():
+            l2._clear_state()
+        if self.sacch is not None:
+            self.sacch_l2._clear_state()
+
     def recv_sacch(self):
         """Next measurement-report-style L3 frame from the SACCH."""
         if self.sacch is None:
