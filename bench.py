@@ -104,9 +104,11 @@ def main():
             off = f * 1250 + 157
             sym[c, off: off + 148] += wave
     from openbts_ttsou_tpu.ops import fir
-    dev = fir.polyphase_resample(
-        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)
-    )[:, : spec.block_in]  # stays on device; no D2H needed for prep
+    _lpf_up = fir.resampler_lpf(96, 65, 651)
+    dev = jax.jit(
+        lambda s: fir.polyphase_resample(s, 96, 65, _lpf_up)
+        [:, : spec.block_in]
+    )(jnp.asarray(sym))  # one compiled prep program; no D2H needed
 
     # One fused program: scan `iters` chained uplink blocks and return a
     # scalar probe. Exactly one compile, one execute, one device→host
