@@ -15,8 +15,59 @@ import datetime
 from typing import Optional
 
 # ---------------------------------------------------------------------------
-# GSM 03.38 7-bit default alphabet packing
+# GSM 03.38 7-bit default alphabet (the reference's gGSMAlphabet,
+# GSMCommon.cpp) + septet packing
 # ---------------------------------------------------------------------------
+
+# The basic character set, GSM 03.38 6.2.1 (code points 0..127);
+# non-ASCII spelled as escapes to keep the table encoding-proof.
+GSM_BASIC_CHARSET = (
+    "@£$¥èéùìòÇ\nØø\r"
+    "Åå"
+    "Δ_ΦΓΛΩΠΨΣΘΞ"
+    "\x1bÆæßÉ"
+    " !\"#¤%&'()*+,-./"
+    "0123456789:;<=>?"
+    "¡ABCDEFGHIJKLMNO"
+    "PQRSTUVWXYZÄÖÑÜ§"
+    "¿abcdefghijklmno"
+    "pqrstuvwxyzäöñüà"
+)
+assert len(GSM_BASIC_CHARSET) == 128
+GSM_EXTENSION = {"^": 0x14, "{": 0x28, "}": 0x29, "\\": 0x2F, "[": 0x3C,
+                 "~": 0x3D, "]": 0x3E, "|": 0x40, "€": 0x65}
+_TO_GSM = {c: i for i, c in enumerate(GSM_BASIC_CHARSET)}
+_FROM_EXT = {v: k for k, v in GSM_EXTENSION.items()}
+
+
+def encode_gsm_chars(text: str) -> list[int]:
+    """Unicode → GSM 03.38 septet values (encodeGSMChar equivalent;
+    unmappable characters become '?')."""
+    out = []
+    for ch in text:
+        if ch in _TO_GSM:
+            out.append(_TO_GSM[ch])
+        elif ch in GSM_EXTENSION:
+            out.append(0x1B)
+            out.append(GSM_EXTENSION[ch])
+        else:
+            out.append(_TO_GSM["?"])
+    return out
+
+
+def decode_gsm_chars(septets: list[int]) -> str:
+    out = []
+    esc = False
+    for v in septets:
+        if esc:
+            out.append(_FROM_EXT.get(v, "?"))
+            esc = False
+        elif v == 0x1B:
+            esc = True
+        else:
+            out.append(GSM_BASIC_CHARSET[v] if v < 128 else "?")
+    return "".join(out)
+
 
 def pack_7bit(text: str) -> bytes:
     """GSM 7-bit septet packing (GSM 03.38 6.1.2.1.1); ASCII subset."""

@@ -87,3 +87,23 @@ def test_mo_sms_full_stack():
     assert tl2.text == "hi from the MS"
     assert tl2.dest == "2125551212"
     assert rp2.dest == "170"
+
+
+def test_gsm_charset():
+    from openbts_ttsou_tpu.sms.messages import (
+        GSM_BASIC_CHARSET,
+        decode_gsm_chars,
+        encode_gsm_chars,
+    )
+
+    assert len(GSM_BASIC_CHARSET) == 128
+    assert GSM_BASIC_CHARSET[0x00] == "@"
+    assert GSM_BASIC_CHARSET[0x20] == " "
+    assert GSM_BASIC_CHARSET[0x41] == "A"
+    assert GSM_BASIC_CHARSET[0x61] == "a"
+    assert GSM_BASIC_CHARSET[0x5F] == "§"
+    # round trip incl. extension characters
+    t = "Hola £5 {x} [y] ~ | €uro"
+    assert decode_gsm_chars(encode_gsm_chars(t)) == t
+    # unmappable → '?'
+    assert decode_gsm_chars(encode_gsm_chars("漢")) == "?"
