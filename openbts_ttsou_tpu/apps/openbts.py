@@ -105,6 +105,7 @@ class BTSApp:
                 arfcn.install_decoder(ch.sacch)
         self._last_fn = -1
         self._beacon_fn = 0
+        self._last_load_log = 0.0
 
     # -- transceiver child management (OpenBTS.cpp:93-155) -------------
     def restart_transceiver(self) -> None:
@@ -197,6 +198,19 @@ class BTSApp:
         if self.sip:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()
+        # periodic load line (OpenBTS.cpp:157-172 writes a CSV to
+        # log.out; we emit through the logger)
+        now = systime.monotonic()
+        if now - self._last_load_log > 15.0:
+            self._last_load_log = now
+            b = self.bts
+            log.info(
+                "load: sdcch=%d/%d tch=%d/%d paging=%d t3122=%ds "
+                "transactions=%d",
+                b.sdcch_total() - b.sdcch_available(), b.sdcch_total(),
+                b.tch_total() - b.tch_available(), b.tch_total(),
+                b.pager.size(), b.t3122(),
+                self.control.transactions.size())
 
     def _generate_downlink(self, fn: int) -> None:
         arfcn = self.trx.arfcn(0)

@@ -74,3 +74,16 @@ def test_cli_sendsms_and_calls(rig):
     assert "MobileTerminatedSMS" in app.parser.process("calls")
     tid = app.control.transactions.entries()[0].id
     assert "removed" in app.parser.process(f"endcall {tid}")
+
+
+def test_config_file_driven_app(tmp_path):
+    from openbts_ttsou_tpu.utils.config import ConfigurationTable
+
+    cfg = ConfigurationTable("examples/openbts_tpu.config")
+    assert cfg.get_int("GSM.ARFCN") == 207
+    assert cfg.is_static("GSM.ARFCN")
+    from openbts_ttsou_tpu.gsm.btsconfig import BTSConfig
+
+    bts = BTSConfig(cfg)
+    assert bts.arfcn == 207 and bts.lac == 1000
+    assert bts.bsic() == 2
