@@ -198,6 +198,16 @@ class BTSApp:
         if self.sip:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()
+        # channel recycling (decoder timeouts, GSML1FEC.cpp:365-372)
+        for ch in self.dcch:
+            if ch.l1.recyclable(now if (now := systime.monotonic()) else now):
+                log.warning("recycling stale SDCCH TN%d sub%d",
+                            ch.l1.tn, getattr(ch.l1, "subchannel", 0))
+                ch.l1.close()
+                if hasattr(ch, "reset"):
+                    ch.reset()
+                self.bts.release(ch)
+                self.control.channel_transactions.pop(id(ch), None)
         # periodic load line (OpenBTS.cpp:157-172 writes a CSV to
         # log.out; we emit through the logger)
         now = systime.monotonic()

@@ -80,8 +80,12 @@ class L1Channel:
         self.bad_frames = 0
 
     def open(self, fn: int = 0) -> None:
+        import time as _time
+
         self.active = True
         self.next_write_fn = fn
+        self.opened_at_s = _time.monotonic()
+        self.last_good_s = self.opened_at_s
 
     def close(self) -> None:
         self.active = False
@@ -91,10 +95,24 @@ class L1Channel:
         total = self.good_frames + self.bad_frames
         return self.bad_frames / total if total else 0.0
 
+    def recyclable(self, now_s: float, t3101_s: float = 4.0,
+                   t3109_s: float = 30.0) -> bool:
+        """True when the channel should be reclaimed: never used after
+        open (T3101) or uplink lost (T3109) — the decoder "recyclable"
+        timeouts of GSML1FEC.cpp:365-372 / TCH uplinkLost."""
+        if not self.active:
+            return False
+        if self.good_frames == 0:
+            return now_s - self.opened_at_s > t3101_s
+        return now_s - self.last_good_s > t3109_s
+
     def record_phy(self, rssi: float, timing: float) -> None:
+        import time as _time
+
         self.rssi_sum += rssi
         self.timing_sum += timing
         self.phy_count += 1
+        self.last_good_s = _time.monotonic()
 
     def _schedule(self, bursts: np.ndarray, fn: int) -> int:
         """Queue 148-bit bursts at consecutive mapped frame numbers

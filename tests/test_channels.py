@@ -191,3 +191,19 @@ def test_tch_facch_stealing():
                                    fn=b.fn, tn=1))
     assert len(received) == 1
     np.testing.assert_array_equal(received[0].bits, l2bits)
+
+
+def test_channel_recycling_timers(monkeypatch):
+    import time as _time
+
+    dl, ul = tdma.SDCCH_8[0]
+    l1 = channels.XCCHL1(0, dl, ul)
+    l1.open(0)
+    assert not l1.recyclable(_time.monotonic())
+    # unused channel recycles after T3101
+    assert l1.recyclable(_time.monotonic() + 5.0)
+    # a good frame refreshes the uplink-lost timer
+    l1.record_phy(-60, 0.5)
+    l1.good_frames = 1
+    assert not l1.recyclable(_time.monotonic() + 5.0)
+    assert l1.recyclable(_time.monotonic() + 40.0)
