@@ -199,8 +199,11 @@ class BTSApp:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()
         # channel recycling (decoder timeouts, GSML1FEC.cpp:365-372)
+        now = systime.monotonic()
+        t3101 = self.bts.config.get_int("GSM.Timer.T3101", 8000) / 1000.0
+        t3109 = self.bts.config.get_int("GSM.Timer.T3109", 30000) / 1000.0
         for ch in self.dcch:
-            if ch.l1.recyclable(now if (now := systime.monotonic()) else now):
+            if ch.l1.recyclable(now, t3101, t3109):
                 log.warning("recycling stale SDCCH TN%d sub%d",
                             ch.l1.tn, getattr(ch.l1, "subchannel", 0))
                 ch.l1.close()
@@ -237,13 +240,21 @@ class BTSApp:
             self.ccch_l2.write_high_side(self.bts.si_frame_for_tc(tc))
             for f in self.ccch_l2.take_l1_out():
                 self._send_ccch(self.bcch, f, fn)
-        # AGCH/PCH from the queues
+        # AGCH on CCCH block 0, PCH on CCCH block 1 (the reference
+        # splits AGCH/PCH across the CCCH blocks; GSMConfig.cpp
+        # getAGCH/getPCH feed distinct CCCHL1 encoders)
         if tdma.CCCH[0].reverse(fn) == 0:
-            frame = self.bts.next_ccch_frame()
+            frame = self.bts.next_agch_frame()
             if frame is not None:
                 self.ccch_l2.write_high_side(frame)
                 for f in self.ccch_l2.take_l1_out():
                     self._send_ccch(self.agch, f, fn)
+        if tdma.CCCH[1].reverse(fn) == 0:
+            frame = self.bts.next_pch_frame()
+            if frame is not None:
+                self.ccch_l2.write_high_side(frame)
+                for f in self.ccch_l2.take_l1_out():
+                    self._send_ccch(self.pch, f, fn)
 
     def _send_ccch(self, l1: channels.CCCHL1, frame: L2Frame,
                    fn: int) -> None:

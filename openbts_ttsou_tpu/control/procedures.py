@@ -380,9 +380,16 @@ class ControlLayer:
         cp = sms.parse_cp(cp_bytes)
         if not isinstance(cp, sms.CPData):
             return
-        channel.send_raw_sms(sms.CPAck(ti=cp.ti).encode()) if hasattr(
-            channel, "send_raw_sms") else None
+        ack = np.unpackbits(np.frombuffer(
+            sms.CPAck(ti=cp.ti).encode(), np.uint8))
+        channel.send(L3Frame(ack, Primitive.DATA), sapi=3)
         rp = sms.parse_rp(cp.rpdu)
+        if isinstance(rp, (sms.RPAck, sms.RPError)):
+            # MS acknowledged (or refused) an MT delivery: close out
+            if t and t.service == ServiceType.MobileTerminatedSMS:
+                self.transactions.remove(t.id)
+                self._release_channel(channel)
+            return
         if not isinstance(rp, sms.RPData):
             return
         tl = sms.TLSubmit.parse(rp.tpdu)
@@ -411,6 +418,9 @@ class ControlLayer:
         rp = sms.RPData(reference=1, tpdu=tl.encode(), mo=False)
         cp = sms.CPData(ti=t.ti_value, rpdu=rp.encode())
         bits = np.unpackbits(np.frombuffer(cp.encode(), np.uint8))
+        # network-initiated SABM on SAPI 3 (GSM 04.06 5.4.1.1 allows
+        # BTS-originated establishment on SAP3); CP-DATA follows the UA
+        channel.send(L3Frame(primitive=Primitive.ESTABLISH), sapi=3)
         channel.send(L3Frame(bits, Primitive.DATA), sapi=3)
         t.set_state(Q931CallState.SMSDelivering)
 

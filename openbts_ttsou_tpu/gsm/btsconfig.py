@@ -169,3 +169,9 @@ class BTSConfig:
         if self.pch_q:
             return self.pch_q.popleft()
         return None
+
+    def next_agch_frame(self) -> Optional[L3Frame]:
+        return self.agch_q.popleft() if self.agch_q else None
+
+    def next_pch_frame(self) -> Optional[L3Frame]:
+        return self.pch_q.popleft() if self.pch_q else None

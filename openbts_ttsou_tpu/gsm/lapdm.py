@@ -285,9 +285,13 @@ class L2LAPDm:
         if not frame.pf():
             return
         if self.state == LAPDState.AwaitingEstablish:
+            # data queued behind the SABM survives establishment
+            pending = list(self._pending_segments)
             self._clear_counters()
+            self._pending_segments.extend(pending)
             self.state = LAPDState.LinkEstablished
             self.l3_out.append(L3Frame(primitive=Primitive.ESTABLISH))
+            self._pump_i_frames()
         elif self.state == LAPDState.AwaitingRelease:
             self._clear_state()
 

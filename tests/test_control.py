@@ -187,11 +187,13 @@ def test_mo_sms_flow(layer):
     assert msg.method == "MESSAGE" and msg.body == "hi"
     t = layer.transactions.entries()[0]
     layer.on_sip_response(t, ch, make_response(msg, 200, "OK"))
-    # RP-ACK wrapped in CP-DATA on SAPI 3
-    (l3, sapi) = ch.sent[0]
-    assert sapi == 3
-    blob = np.packbits(l3.bits).tobytes()
-    cp2 = sms_m.parse_cp(blob)
+    # RP-ACK wrapped in CP-DATA on SAPI 3 (a CP-ACK for the MO
+    # CP-DATA precedes it on the same SAP)
+    datas = [l3 for (l3, sapi) in ch.sent
+             if sapi == 3 and len(l3.bits)
+             and isinstance(sms_m.parse_cp(
+                 np.packbits(l3.bits).tobytes()), sms_m.CPData)]
+    cp2 = sms_m.parse_cp(np.packbits(datas[-1].bits).tobytes())
     rp2 = sms_m.parse_rp(cp2.rpdu)
     assert isinstance(rp2, sms_m.RPAck)
 
@@ -204,7 +206,10 @@ def test_mt_sms_delivery(layer):
     layer.bts.get_sdcch()
     resp = rr.PagingResponse(common.MobileIdentity.imsi(IMSI))
     layer.dispatch_l3(ch, resp.encode())
-    (l3, sapi) = ch.sent[0]
+    # first an ESTABLISH on SAPI 3, then the CP-DATA
+    est = ch.sent[0]
+    assert est[1] == 3 and len(est[0].bits) == 0
+    (l3, sapi) = ch.sent[1]
     assert sapi == 3
     cp = sms_m.parse_cp(np.packbits(l3.bits).tobytes())
     rp = sms_m.parse_rp(cp.rpdu)

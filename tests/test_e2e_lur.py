@@ -341,3 +341,125 @@ def test_over_the_air_mo_call(rig):
     rel = ms_drive(160, cc.Release)
     assert rel is not None, f"no Release; got {got}"
     assert any(SIPMessage.parse(b).method == "BYE" for b in sip_out)
+
+
+def test_over_the_air_mt_sms(rig):
+    """MT-SMS end to end over the radio: page on the PCH → MS RACHes →
+    Paging Response in the SABM → network-initiated SAPI-3 link →
+    CP-DATA(RP-DATA(SMS-DELIVER)) off the air → MS returns CP-ACK +
+    CP-DATA(RP-ACK) → transaction closed and SDCCH released
+    (SMSControl.cpp:425 deliverSMSToMS over the full PHY/L2 path)."""
+    from openbts_ttsou_tpu.sms import messages as sms_m
+
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    ms = MS(radio, daemon, app.bts.bcc)
+    ms.l2_sms = L2LAPDm(c=0, sapi=3)
+    free_before = app.bts.sdcch_available()
+
+    # --- network queues an MT-SMS; pager announces it ------------------
+    TEXT = "wake up neo"
+    app.control.initiate_mtsms(IMSI, "5552000", TEXT)
+    page_id = None
+    fn = daemon.fn
+    guard = fn + 240
+    while fn < guard and page_id is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 12:  # PCH block (CCCH[1])
+                frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.PagingRequestType1):
+                        for ident in (msg.id1, msg.id2):
+                            if ident is not None and ident.kind != 0:
+                                page_id = ident
+                                break
+            fn += 1
+    assert page_id is not None, "no page decoded on the PCH"
+
+    # --- MS answers: RACH → IA → SABM(Paging Response) -----------------
+    fn_r = daemon.fn + 8
+    while fn_r % 51 not in range(14, 37):
+        fn_r += 1
+    ms.tx_rach(0x29, fn_r)
+    ia = None
+    fn = fn_r
+    while fn < fn_r + 160 and ia is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 6:
+                frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.ImmediateAssignment) and \
+                            msg.reference.ra == 0x29:
+                        ia = msg
+                        break
+            fn += 1
+    assert ia is not None, "no Immediate Assignment for the page answer"
+    sub = ia.channel.type_and_offset - 4
+    dl_map, ul_map = tdma.SDCCH_4[sub]
+
+    resp = rr.PagingResponse(page_id)
+    ms.l2._send_u(FrameType.SABM, True, ms.l2.c, resp.encode())
+    ms.l2.state = LAPDState.AwaitingEstablish
+    ul_fn = ms.tx_l2(ms.l2.take_l1_out()[0], ul_map, daemon.fn + 4)
+
+    # --- drive both SAPs until the DELIVER arrives ---------------------
+    deliver = None
+    fn_scan = daemon.fn - 10
+    for _ in range(240):
+        pump(app, daemon)
+        while fn_scan < daemon.fn - 5:
+            if dl_map.reverse(fn_scan) == 0:
+                frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                        fn_scan + 2, fn_scan + 3])
+                if frame is not None:
+                    (ms.l2_sms if frame.sapi() == 3
+                     else ms.l2).write_low_side(frame)
+            fn_scan += 1
+        for l2 in (ms.l2, ms.l2_sms):
+            for out in l2.take_l1_out():
+                ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+        while (l3 := ms.l2_sms.read_high_side()) is not None:
+            if len(l3.bits) >= 16:
+                cp = sms_m.parse_cp(np.packbits(l3.bits).tobytes())
+                if isinstance(cp, sms_m.CPData):
+                    rp = sms_m.parse_rp(cp.rpdu)
+                    if isinstance(rp, sms_m.RPData):
+                        deliver = sms_m.TLDeliver.parse(rp.tpdu)
+                        break
+        if deliver is not None:
+            break
+    assert deliver is not None, "no SMS-DELIVER decoded on SAPI 3"
+    assert deliver.text == TEXT and deliver.orig == "5552000"
+    assert ms.l2_sms.state == LAPDState.LinkEstablished
+
+    # --- MS acknowledges: CP-ACK then CP-DATA(RP-ACK) ------------------
+    from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+
+    for pdu in (sms_m.CPAck(ti=deliver and 0).encode(),
+                sms_m.CPData(ti=0, rpdu=sms_m.RPAck(
+                    reference=1, mo=True).encode()).encode()):
+        bits = np.unpackbits(np.frombuffer(pdu, np.uint8))
+        ms.l2_sms.write_high_side(L3Frame(bits, Primitive.DATA))
+    closed = False
+    for _ in range(240):
+        pump(app, daemon)
+        while fn_scan < daemon.fn - 5:
+            if dl_map.reverse(fn_scan) == 0:
+                frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                        fn_scan + 2, fn_scan + 3])
+                if frame is not None:
+                    (ms.l2_sms if frame.sapi() == 3
+                     else ms.l2).write_low_side(frame)
+            fn_scan += 1
+        for l2 in (ms.l2, ms.l2_sms):
+            for out in l2.take_l1_out():
+                ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+        if app.control.transactions.find_by_imsi(IMSI) is None and \
+                app.bts.sdcch_available() == free_before:
+            closed = True
+            break
+    assert closed, "MT-SMS transaction not closed / SDCCH not released"
