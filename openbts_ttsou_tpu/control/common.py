@@ -96,10 +96,16 @@ class TransactionTable:
         with self._lock:
             return self._table.get(tid)
 
-    def find_by_imsi(self, imsi: str) -> Optional[TransactionEntry]:
+    def find_by_imsi(self, imsi: str,
+                     services: Optional[tuple] = None
+                     ) -> Optional[TransactionEntry]:
+        """Match by IMSI, optionally restricted to service types (the
+        reference's paging lookup searches only MT transactions,
+        TransactionTable.cpp find-by-mobile-ID)."""
         with self._lock:
             for t in self._table.values():
-                if t.imsi == imsi:
+                if t.imsi == imsi and (services is None
+                                       or t.service in services):
                     return t
             return None
 

@@ -352,7 +352,11 @@ class ControlLayer:
     def paging_response(self, channel, msg: rr.PagingResponse):
         """PagingResponseHandler (RadioResource.cpp:221)."""
         imsi = self._imsi_of(msg.identity)
-        t = self.transactions.find_by_imsi(imsi) if imsi else None
+        # only MT transactions answer a page (stale MO entries for the
+        # same IMSI must not shadow the paged service)
+        t = self.transactions.find_by_imsi(
+            imsi, services=(ServiceType.MobileTerminatedCall,
+                            ServiceType.MobileTerminatedSMS))             if imsi else None
         if t is None:
             self._release_channel(channel)
             return

@@ -118,6 +118,10 @@ def rig():
     radio = DuplexLoopbackRadio()
     daemon = TrxDaemon(radio, TrxDaemonConfig(base_port=BASE))
     app = BTSApp(trx_base_port=BASE)
+    # the simulated radio runs much slower than real time; keep the
+    # channel-recycling timers out of the way
+    app.bts.config.set("GSM.Timer.T3101", "600000")
+    app.bts.config.set("GSM.Timer.T3109", "600000")
     app.bts.clock = DaemonClock(daemon)
     for ch in app.dcch:
         ch.l1.clock = app.bts.clock.fn
@@ -458,8 +462,10 @@ def test_over_the_air_mt_sms(rig):
         for l2 in (ms.l2, ms.l2_sms):
             for out in l2.take_l1_out():
                 ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
-        if app.control.transactions.find_by_imsi(IMSI) is None and \
-                app.bts.sdcch_available() == free_before:
+        from openbts_ttsou_tpu.control.common import ServiceType
+        if app.control.transactions.find_by_imsi(
+                IMSI, services=(ServiceType.MobileTerminatedSMS,)) is None \
+                and app.bts.sdcch_available() == free_before:
             closed = True
             break
     assert closed, "MT-SMS transaction not closed / SDCCH not released"
