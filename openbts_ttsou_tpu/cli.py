@@ -75,6 +75,10 @@ class Parser:
             "IMSI src text... -- deliver an SMS to IMSI.")
         add("endcall", self._endcall,
             "trans# -- terminate the given transaction.")
+        add("testcall", self._testcall,
+            "IMSI [secs] -- initiate a test call to IMSI.")
+        add("sendrrlp", self._sendrrlp,
+            "IMSI hexstring -- send an RRLP APDU to IMSI.")
         add("exit", lambda a: "exiting", "-- exit the application.")
 
     # -- command implementations ---------------------------------------

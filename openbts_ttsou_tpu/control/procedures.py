@@ -415,6 +415,29 @@ class ControlLayer:
         self.bts.pager.add(identity, transaction_id=t.id)
         return t
 
+    def initiate_testcall(self, imsi: str) -> TransactionEntry:
+        """CLI `testcall`: page the MS into a dedicated channel held
+        open for loopback testing (TestCall, CallControl.cpp)."""
+        t = self.transactions.new(ServiceType.TestCall, imsi=imsi)
+        tmsi = self.tmsis.tmsi(imsi)
+        identity = (MobileIdentity.from_tmsi(tmsi) if tmsi is not None
+                    else MobileIdentity.imsi(imsi))
+        self.bts.pager.add(identity, transaction_id=t.id)
+        return t
+
+    def send_rrlp(self, imsi: str, apdu: bytes) -> bool:
+        """CLI `sendrrlp`: push an RRLP APDU to an MS with an active
+        dedicated channel (Application Information, GSM 04.08 9.1.53)."""
+        for ch_id, tid in self.channel_transactions.items():
+            t = self.transactions.find(tid)
+            if t is not None and t.imsi == imsi:
+                for ch in getattr(self.bts, "sdcch_pool", []):
+                    if id(ch) == ch_id:
+                        msg = rr.ApplicationInformation(apdu)
+                        ch.send(L3Frame(msg.encode(), Primitive.DATA))
+                        return True
+        return False
+
     def deliver_sms(self, channel, t: TransactionEntry):
         """MT-SMS delivery over SAPI 3 (deliverSMSToMS,
         SMSControl.cpp:425)."""

@@ -162,6 +162,31 @@ class ImmediateAssignmentReject(L3Message):
 
 
 @register
+class ApplicationInformation(L3Message):
+    """GSM 04.08 9.1.53 Application Information — carries an RRLP APDU
+    (the reference's sendrrlp path, CLI.cpp + RRLP inject)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x38
+
+    def __init__(self, apdu: bytes = b"", protocol_id: int = 0):
+        self.apdu = apdu
+        self.protocol_id = protocol_id  # 0 = RRLP
+
+    def write_body(self, w: BitWriter) -> None:
+        w.field(0, 4).field(self.protocol_id, 4)  # APDU flags + ID
+        w.octet(len(self.apdu))
+        for b in self.apdu:
+            w.octet(b)
+
+    def parse_body(self, r: BitReader) -> None:
+        r.field(4)
+        self.protocol_id = r.field(4)
+        n = r.octet()
+        self.apdu = bytes(r.octet() for _ in range(n))
+
+
+@register
 class ChannelRelease(L3Message):
     """GSM 04.08 9.1.7."""
 

@@ -81,3 +81,17 @@ def sinc_interpolate(x: Array, ix: Array, half_width: int = 10) -> Array:
     vals = jnp.take_along_axis(
         jnp.broadcast_to(x, ix.shape + (t,)), jnp.clip(idx, 0, t - 1), axis=-1)
     return jnp.sum(jnp.where(valid, vals * w, 0.0), axis=-1)
+
+
+def resample_linear(x: Array, expansion: float, out_len: int) -> Array:
+    """Linear-interpolation resampler (resampleVector,
+    sigProcLib.cpp:1213-1241): y[i] = lerp(x, i/expansion). Batched over
+    leading dims; out-of-range reads clamp to the last sample.
+    """
+    x = jnp.asarray(x)
+    t = jnp.arange(out_len, dtype=jnp.float32) / jnp.float32(expansion)
+    i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, x.shape[-1] - 1)
+    i1 = jnp.clip(i0 + 1, 0, x.shape[-1] - 1)
+    frac = (t - i0.astype(jnp.float32)).astype(x.dtype if
+        jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32)
+    return x[..., i0] * (1 - frac) + x[..., i1] * frac

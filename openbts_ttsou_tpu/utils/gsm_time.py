@@ -141,3 +141,37 @@ class Time:
 
     def __repr__(self):
         return f"Time({self.fn}:{self.tn})"
+
+
+class Z100Timer:
+    """Millisecond countdown timer (GSMCommon.h Z100Timer): set(),
+    expired(), remaining(); used for T3101/T3113-style supervision."""
+
+    def __init__(self, limit_ms: int = 0):
+        self._limit = limit_ms
+        self._end: float | None = None
+
+    def set(self, limit_ms: int | None = None) -> None:
+        import time as _t
+
+        if limit_ms is not None:
+            self._limit = limit_ms
+        self._end = _t.monotonic() + self._limit / 1000.0
+
+    def reset(self) -> None:
+        self._end = None
+
+    def active(self) -> bool:
+        return self._end is not None
+
+    def expired(self) -> bool:
+        import time as _t
+
+        return self._end is not None and _t.monotonic() >= self._end
+
+    def remaining(self) -> int:
+        import time as _t
+
+        if self._end is None:
+            return 0
+        return max(0, int((self._end - _t.monotonic()) * 1000))
