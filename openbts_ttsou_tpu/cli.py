@@ -82,6 +82,22 @@ class Parser:
         add("exit", lambda a: "exiting", "-- exit the application.")
 
     # -- command implementations ---------------------------------------
+    def _testcall(self, args) -> str:
+        if not args:
+            return "usage: testcall IMSI [secs]"
+        t = self.ctx.control.initiate_testcall(args[0])
+        return f"test call transaction {t.id}; paging {args[0]}"
+
+    def _sendrrlp(self, args) -> str:
+        if len(args) < 2:
+            return "usage: sendrrlp IMSI hexstring"
+        try:
+            apdu = bytes.fromhex(args[1])
+        except ValueError:
+            return "bad hexstring"
+        ok = self.ctx.control.send_rrlp(args[0], apdu)
+        return "RRLP sent" if ok else "no active channel for " + args[0]
+
     def _help(self, args: List[str]) -> str:
         if args and args[0] in self._commands:
             return f"{args[0]} {self._commands[args[0]][1]}"
