@@ -38,6 +38,10 @@ def measure_cpu_baseline() -> float:
     return data["samples_per_s"]
 
 
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     import numpy as np
 
@@ -81,6 +85,7 @@ def main():
     from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
     from openbts_ttsou_tpu.utils import constants as C
 
+    log(f"devices={jax.devices()} mode={mode} chan={n_chan} iters={iters}")
     cfg = TrxConfig(n_chan=n_chan)
     spec = UplinkSpec(frames=13)
 
@@ -105,10 +110,12 @@ def main():
             sym[c, off: off + 148] += wave
     from openbts_ttsou_tpu.ops import fir
     _lpf_up = fir.resampler_lpf(96, 65, 651)
+    log("prep: compiling+running device-rate resample")
     dev = jax.jit(
         lambda s: fir.polyphase_resample(s, 96, 65, _lpf_up)
         [:, : spec.block_in]
     )(jnp.asarray(sym))  # one compiled prep program; no D2H needed
+    log("prep done")
 
     # One fused program: scan `iters` chained uplink blocks and return a
     # scalar probe. Exactly one compile, one execute, one device→host
@@ -131,14 +138,18 @@ def main():
     # measure the bare fetch round trip for subtraction (warm the tiny
     # probe program first so its compile isn't counted)
     probe_fn = jax.jit(lambda x: jnp.sum(x[..., :1]).real)
+    log("probe warm")
     float(np.asarray(probe_fn(dev)))
+    log("probe done")
     t0 = time.perf_counter()
     float(np.asarray(probe_fn(dev)))
     fetch_rtt = time.perf_counter() - t0
 
     # warm run (compile + execute once)
+    log("fused: compile+warm run")
     probe, dets = fused(state, dev)
     float(np.asarray(probe))
+    log("fused warm done; timing")
 
     t0 = time.perf_counter()
     probe, dets = fused(state, dev)
