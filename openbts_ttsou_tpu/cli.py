@@ -172,12 +172,21 @@ class Parser:
         return f"T3212 = {cfg.get_str('GSM.T3212', '0')} minutes"
 
     def _chans(self, args) -> str:
-        rows = []
-        for ch in self.ctx.bts.sdcch_pool + list(self.ctx.bts.tch_pool):
-            l1 = getattr(ch, "l1", ch)
-            rows.append(f"TN{l1.tn} FER={l1.fer():.3f} "
-                        f"good={l1.good_frames} bad={l1.bad_frames}")
-        return "\n".join(rows) or "(no channels)"
+        """Per-channel PHY report (CLI.cpp `chans`: type, state, FER,
+        RSSI, timing error from the uplink decoder averages)."""
+        rows = ["chan  TN  state   FER    good/bad  RSSI(dB)  TA(sym)"]
+        for kind, pool in (("SDCCH", self.ctx.bts.sdcch_pool),
+                           ("TCH", list(self.ctx.bts.tch_pool))):
+            for i, ch in enumerate(pool):
+                l1 = getattr(ch, "l1", ch)
+                n = max(l1.phy_count, 1)
+                rows.append(
+                    f"{kind}{i:<2} TN{l1.tn}  "
+                    f"{'open' if l1.active else 'idle':6} "
+                    f"{l1.fer():5.3f}  {l1.good_frames}/{l1.bad_frames}"
+                    f"  {l1.rssi_sum / n:8.1f}  "
+                    f"{l1.timing_sum / n:6.2f}")
+        return "\n".join(rows)
 
     def _power(self, args) -> str:
         return "power control: full scale"
