@@ -96,9 +96,12 @@ class BTSApp:
         for tn in range(1, 1 + min(n_tch, 7)):
             tch = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
                                       tdma.FACCH_TCHF, tsc=self.bts.bcc)
+            tch.clock = self.bts.clock.fn
             self.bts.add_tch(tch)
         arfcn = self.trx.arfcn(0)
         arfcn.install_decoder(self.rach)
+        for tch in self.bts.tch_pool:
+            arfcn.install_decoder(tch)
         for ch in self.dcch:
             arfcn.install_decoder(ch.l1)
             if ch.sacch is not None:
@@ -125,6 +128,8 @@ class BTSApp:
         ok &= a.set_power(0)
         ok &= a.set_max_delay(4)
         ok &= a.set_slot(0, 5)  # C-V beacon slot (OpenBTS.cpp:213)
+        for tn in sorted({t.tn for t in self.bts.tch_pool}):
+            ok &= a.set_slot(tn, 1)  # combination I (TCH/F)
         ok &= a.power_on()
         return ok
 
@@ -195,6 +200,20 @@ class BTSApp:
         for ch in self.dcch:
             while ch.l1.tx_queue and ch.l1.tx_queue[0].fn <= horizon:
                 arfcn.write_high_side(ch.l1.tx_queue.popleft())
+        # TCH downlink: keep each open channel's 4-burst blocks ahead
+        # of the clock (speech > FACCH > silence filler), and run the
+        # in-call voice pumps (CallControl.cpp:393-407 loop body)
+        for tch in self.bts.tch_pool:
+            if tch.active:
+                tch.resync(fn_now)
+                while tch.next_write_fn <= horizon:
+                    tch.dispatch_block()
+            while tch.tx_queue and tch.tx_queue[0].fn <= horizon:
+                arfcn.write_high_side(tch.tx_queue.popleft())
+        for t in self.control.transactions.entries():
+            pump = getattr(t, "voice", None)
+            if pump is not None:
+                pump.pump()
         if self.sip:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()

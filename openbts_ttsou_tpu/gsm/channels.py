@@ -114,6 +114,21 @@ class L1Channel:
         self.phy_count += 1
         self.last_good_s = _time.monotonic()
 
+    def _align_block_start(self, fn: int, modulus: int = 4) -> int:
+        """Advance fn to the next mapped frame whose burst index is a
+        multiple of `modulus`: interleaved blocks must start on a block
+        boundary or the receiver deinterleaves across two blocks
+        (L1Encoder::rollForward keeps mNextWriteTime on the mapping,
+        GSML1FEC.cpp:205)."""
+        fn = self.downlink.next_write_time(fn)
+        guard = 0
+        while (self.downlink.reverse(fn) or 0) % modulus != 0:
+            fn = self.downlink.next_write_time(fn + 1)
+            guard += 1
+            if guard > 128:  # malformed mapping; fail open
+                break
+        return fn
+
     def _schedule(self, bursts: np.ndarray, fn: int) -> int:
         """Queue 148-bit bursts at consecutive mapped frame numbers
         (rollForward, GSML1FEC.cpp:205; resync against the BTS clock
@@ -123,7 +138,7 @@ class L1Channel:
 
             now = self.clock()
             if fn_delta(fn, now + 3) < 0:
-                fn = (now + 3) % HYPERFRAME
+                fn = self._align_block_start((now + 3) % HYPERFRAME)
         for b in np.atleast_2d(bursts):
             fn = self.downlink.next_write_time(fn)
             self.tx_queue.append(TxBurst(np.asarray(b, np.uint8), fn,
@@ -139,7 +154,8 @@ class L1Channel:
         from openbts_ttsou_tpu.utils.gsm_time import fn_delta
 
         if fn_delta(self.next_write_fn, fn_now + lead) < 0:
-            self.next_write_fn = (fn_now + lead) % HYPERFRAME
+            self.next_write_fn = self._align_block_start(
+                (fn_now + lead) % HYPERFRAME)
 
     def pop_due(self, fn: int) -> Optional[TxBurst]:
         """The burst scheduled for frame fn, if any."""
@@ -347,6 +363,19 @@ class TCHFACCHL1(XCCHL1):
         self._itx = np.zeros(8 * 114, np.uint8)  # tx diagonal (mI)
 
     # -- downlink ------------------------------------------------------
+    def resync(self, fn_now: int, lead: int = 3) -> None:
+        """TCH blocks ride an 8-burst diagonal: align the write pointer
+        to an 8-burst boundary and restart the interleaver phase when
+        jumping (encoder mOffset/mI reset, GSML1FEC.cpp TCH encoder)."""
+        from openbts_ttsou_tpu.utils.gsm_time import fn_delta
+
+        if fn_delta(self.next_write_fn, fn_now + lead) < 0:
+            self.next_write_fn = self._align_block_start(
+                (fn_now + lead) % HYPERFRAME, modulus=8)
+            self._offset = 0
+            self._itx[:] = 0
+            self._prev_facch = False
+
     def send_l2(self, frame: L2Frame) -> None:
         """FACCH frame: steal the next TCH block (sendFrame →
         dispatch, GSML1FEC.cpp:1310-1376)."""
@@ -447,6 +476,9 @@ class LogicalChannel:
                  sacch: "SACCHL1 | None" = None):
         self.l1 = l1
         self.sacch = sacch
+        self._tick_base = None
+        self._tick_fn_last = None
+        self._tick_ms = 0.0
         self.mux = SAPMux()
         self.mux.attach_l1(l1)
         self.l2: Dict[int, L2LAPDm] = {}
@@ -495,8 +527,31 @@ class LogicalChannel:
         return self.l2[sapi].read_high_side()
 
     def pump(self) -> None:
-        """Move any queued L2 frames down into L1."""
+        """Move any queued L2 frames down into L1, driving T200 so lost
+        frames retransmit (the reference's per-channel T200Expiration
+        thread). Time comes from the BTS frame clock when attached —
+        GSM link timers must follow air-interface time — with a
+        wall-clock fallback for clockless fixtures."""
+        import time as _time
+
+        from openbts_ttsou_tpu.utils.gsm_time import fn_delta
+
+        if self.l1.clock is not None:
+            fn = self.l1.clock()
+            if self._tick_fn_last is None:
+                self._tick_fn_last = fn
+            d = fn_delta(fn, self._tick_fn_last)
+            if d > 0:
+                self._tick_ms += d * 60.0 / 13.0  # 4.615 ms per frame
+                self._tick_fn_last = fn
+            now_ms = int(self._tick_ms)
+        else:
+            if self._tick_base is None:
+                self._tick_base = _time.monotonic()
+            now_ms = int((_time.monotonic() - self._tick_base) * 1000)
         for l2 in self.l2.values():
+            if hasattr(l2, "tick"):
+                l2.tick(now_ms)
             for frame in l2.take_l1_out():
                 self.mux.write_high_side(frame)
 

@@ -469,3 +469,205 @@ def test_over_the_air_mt_sms(rig):
             closed = True
             break
     assert closed, "MT-SMS transaction not closed / SDCCH not released"
+
+
+def test_over_the_air_voice_call(rig):
+    """Full MO voice call with traffic: signaling on the SDCCH, early
+    assignment to a TCH/F, then GSM 06.10 speech frames over the air in
+    BOTH directions bridged to RTP (assignTCHF CallControl.cpp:441-470
+    and the in-call pump :393-407, over real modulation/FEC)."""
+    import socket
+    import struct
+
+    from openbts_ttsou_tpu.control.voice import payload_to_rtp, rtp_to_payload
+    from openbts_ttsou_tpu.gsm import channels
+    from openbts_ttsou_tpu.gsm.l3 import cc
+    from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive, RxBurst
+    from openbts_ttsou_tpu.sip.message import make_sdp
+    from openbts_ttsou_tpu.trx import protocol as proto
+
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    ms = MS(radio, daemon, app.bts.bcc)
+    rng = np.random.default_rng(7)
+
+    # --- access + CM service (as in the MO-call test) ------------------
+    free_before = app.bts.sdcch_available()
+    fn_r = daemon.fn + 8
+    while fn_r % 51 not in range(14, 37):
+        fn_r += 1
+    ms.tx_rach(0x33, fn_r)
+    for _ in range(80):
+        pump(app, daemon)
+        if app.bts.sdcch_available() < free_before:
+            break
+    ia = None
+    fn = fn_r
+    while fn < fn_r + 160 and ia is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 6:
+                frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.ImmediateAssignment) and \
+                            msg.reference.ra == 0x33:
+                        ia = msg
+                        break
+            fn += 1
+    assert ia is not None
+    sub = ia.channel.type_and_offset - 4
+    dl_map, ul_map = tdma.SDCCH_4[sub]
+    ch = app.bts.sdcch_pool[sub]
+
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=l3c.MobileIdentity.imsi(IMSI))
+    ms.l2._send_u(FrameType.SABM, True, ms.l2.c, req.encode())
+    ms.l2.state = LAPDState.AwaitingEstablish
+    ul_fn = ms.tx_l2(ms.l2.take_l1_out()[0], ul_map, daemon.fn + 4)
+
+    got = []
+    fn_scan = daemon.fn - 10
+
+    def ms_drive(rounds, want=None):
+        nonlocal ul_fn, fn_scan
+        for _ in range(rounds):
+            pump(app, daemon)
+            while fn_scan < daemon.fn - 5:
+                if dl_map.reverse(fn_scan) == 0:
+                    frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                            fn_scan + 2, fn_scan + 3])
+                    if frame is not None:
+                        ms.l2.write_low_side(frame)
+                fn_scan += 1
+            for out in ms.l2.take_l1_out():
+                ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+            while (l3 := ms.l2.read_high_side()) is not None:
+                if len(l3.bits) >= 16:
+                    m = parse_l3(l3.bits)
+                    if m is not None:
+                        got.append(m)
+                        if want is not None and isinstance(m, want):
+                            return m
+        return None
+
+    assert ms_drive(140, mm.CMServiceAccept) is not None, f"got {got}"
+
+    # --- call setup; early assignment lands during proceeding ----------
+    setup = cc.Setup(cc.CalledPartyBCDNumber("8005551000"))
+    ms.l2.write_high_side(L3Frame(setup.encode(), Primitive.DATA))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    assign = ms_drive(420, rr.AssignmentCommand)
+    if assign is None:
+        assign = next((m for m in got
+                       if isinstance(m, rr.AssignmentCommand)), None)
+    l2b = ch.l2[0]
+    assert assign is not None, (
+        f"no AssignmentCommand; got {got}; bts l2 state={l2b.state} "
+        f"vs={l2b.vs} va={l2b.va} pending={len(l2b._pending_segments)} "
+        f"l1out={len(l2b._l1_out)} txq={len(ch.l1.tx_queue)}")
+    tch_tn = assign.channel.tn
+    assert any(t.tn == tch_tn for t in app.bts.tch_pool)
+    # the daemon must expect traffic bursts on that slot
+    daemon.handle_control(proto.pack_command("SETSLOT", tch_tn, 1))
+
+    invite = next(SIPMessage.parse(b) for b in sip_out
+                  if SIPMessage.parse(b).method == "INVITE")
+    sip_out.clear()
+    t = max((x for x in app.control.transactions.entries()
+             if x.imsi == IMSI and x.called == "8005551000"),
+            key=lambda x: x.id, default=None) or \
+        app.control.transactions.entries()[-1]
+
+    # remote answers with SDP pointing at our test socket
+    rtp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rtp_sock.bind(("127.0.0.1", 0))
+    rtp_sock.setblocking(False)
+    rtp_port = rtp_sock.getsockname()[1]
+    app.control.on_sip_response(
+        t, ch, make_response(invite, 200, "OK", to_tag="vv",
+                             body=make_sdp("127.0.0.1", rtp_port)))
+    assert ms_drive(160, cc.Connect) is not None, f"no Connect; got {got}"
+
+    # MS confirms the assignment (handled on the old channel)
+    ms.l2.write_high_side(L3Frame(rr.AssignmentComplete().encode(),
+                                  Primitive.DATA))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    for _ in range(6):
+        ms_drive(50)
+        if getattr(t, "voice", None) is not None:
+            break
+    assert getattr(t, "voice", None) is not None, "voice pump not attached"
+    assert t.tch.active and t.tch.tn == tch_tn
+
+    # --- uplink speech: MS TCH modem → air → BTS → RTP -----------------
+    ms_tx = channels.TCHFACCHL1(tch_tn, tdma.FACCH_TCHF,
+                                tdma.FACCH_TCHF, tsc=app.bts.bcc)
+    ms_tx.open(0)
+    # align the first burst on an 8-burst interleaver boundary
+    fn0 = daemon.fn + 6
+    while not (tdma.FACCH_TCHF.reverse(fn0) is not None
+               and tdma.FACCH_TCHF.reverse(fn0) % 8 == 0):
+        fn0 += 1
+    ms_tx.next_write_fn = fn0
+    speech = [rng.integers(0, 2, 260).astype(np.uint8) for _ in range(3)]
+    for fr in speech:
+        ms_tx.send_tch(fr)
+    for _ in range(4):  # 3 speech blocks + 1 filler to flush
+        ms_tx.dispatch_block()
+    bursts = list(ms_tx.tx_queue)
+    ms_tx.tx_queue.clear()
+    rtp_in = []
+    bi = 0
+    for _ in range(300):
+        while bi < len(bursts) and bursts[bi].fn <= daemon.fn + 6:
+            b = bursts[bi]
+            ms.tx_burst(b.bits, b.fn, tn=tch_tn)
+            bi += 1
+        pump(app, daemon)
+        try:
+            while True:
+                data, _ = rtp_sock.recvfrom(2048)
+                if len(data) >= 12 + 33:
+                    rtp_in.append(data[12:])
+        except BlockingIOError:
+            pass
+        if len(rtp_in) >= 2 and bi >= len(bursts):
+            break
+    ups = [rtp_to_payload(p) for p in rtp_in]
+    ups = [u for u in ups if u is not None]
+    matches = sum(any(np.array_equal(u, s) for s in speech) for u in ups)
+    assert matches >= 2, f"uplink speech not bridged ({len(ups)} frames)"
+
+    # --- downlink speech: RTP → BTS → air → MS decode ------------------
+    bts_rtp = t.sip.rtp
+    down = [rng.integers(0, 2, 260).astype(np.uint8) for _ in range(3)]
+    seq = 0
+    for fr in down:
+        hdr = struct.pack("!BBHII", 0x80, 3, seq, seq * 160, 0x1234)
+        rtp_sock.sendto(hdr + payload_to_rtp(fr),
+                        ("127.0.0.1", bts_rtp.local_port))
+        seq += 1
+    ms_rx = channels.TCHFACCHL1(tch_tn, tdma.FACCH_TCHF,
+                                tdma.FACCH_TCHF, tsc=app.bts.bcc)
+    ms_rx.open(0)
+    fn_tch = daemon.fn - 2
+    for _ in range(400):
+        pump(app, daemon)
+        while fn_tch < daemon.fn - 5:
+            if tdma.FACCH_TCHF.reverse(fn_tch) is not None:
+                soft = ms.rx_soft(fn_tch, tn=tch_tn)
+                if soft is not None:
+                    ms_rx.write_low_side(RxBurst(soft, fn=fn_tch,
+                                                 tn=tch_tn))
+            fn_tch += 1
+        decoded = [d for d in ms_rx.speech_out if d.any()]
+        if sum(any(np.array_equal(d, s) for s in down)
+               for d in decoded) >= 2:
+            break
+    decoded = [d for d in ms_rx.speech_out if d.any()]
+    matches = sum(any(np.array_equal(d, s) for s in down) for d in decoded)
+    assert matches >= 2, \
+        f"downlink speech not decoded ({len(ms_rx.speech_out)} frames)"
