@@ -182,15 +182,25 @@ def main():
 
 
 if __name__ == "__main__":
+    import signal
     import traceback
 
+    def _alarm(signum, frame):
+        raise TimeoutError("attempt watchdog fired (relay hang)")
+
+    signal.signal(signal.SIGALRM, _alarm)
     last_err = None
     for attempt in range(3):
         try:
+            signal.alarm(int(os.environ.get("BENCH_ATTEMPT_TIMEOUT",
+                                            "420")))
             main()
+            signal.alarm(0)
             break
-        except Exception as e:  # relay hiccups: retry the whole run
+        except Exception as e:  # relay hiccups/hangs: retry the run
+            signal.alarm(0)
             last_err = e
+            log(f"attempt {attempt} failed: {type(e).__name__}: {e}")
             time.sleep(10)
     else:
         print(json.dumps({
