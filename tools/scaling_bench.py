@@ -38,6 +38,9 @@ def main():
 
     import jax
 
+    if args.cpu or jax.default_backend() != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
