@@ -228,6 +228,10 @@ class ControlLayer:
             return
         t.ti_flag, t.ti_value = 1, msg.ti & 0x7
         t.called = msg.called.digits if msg.called else ""
+        if t.service == ServiceType.EmergencyCall:
+            # emergency setups route to the configured dispatch number
+            # whatever was dialed (EmergencyCall, CallControl.cpp)
+            t.called = self.bts.config.get_str("PBX.Emergency", "911")
         t.set_state(Q931CallState.MOCInitiated)
         proceeding = cc.CallProceeding()
         proceeding.ti = (1 << 3) | t.ti_value  # TI flag flipped downlink

@@ -367,3 +367,17 @@ def test_si_rotation():
                      "SystemInformationType3", "SystemInformationType4",
                      "SystemInformationType3", "SystemInformationType2",
                      "SystemInformationType3", "SystemInformationType4"]
+
+
+def test_emergency_call_routes_to_dispatch(layer):
+    (ch,) = _attach_sdcch(layer)
+    req = mm.CMServiceRequest(service_type=8,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    t = layer.transactions.entries()[-1]
+    assert t.service.name == "EmergencyCall"
+    setup = cc.Setup(cc.CalledPartyBCDNumber("5551234"))
+    layer.dispatch_l3(ch, setup.encode())
+    assert t.called == "911"  # dialed digits overridden
+    msg = SIPMessage.parse(layer._sip_out.pop(0))
+    assert msg.method == "INVITE" and "911" in msg.uri
