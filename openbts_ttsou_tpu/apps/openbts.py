@@ -30,7 +30,7 @@ from openbts_ttsou_tpu.gsm.trxmanager import TransceiverManager
 from openbts_ttsou_tpu.gsm.lapdm import CCCHL2
 from openbts_ttsou_tpu.sip.interface import SIPInterface
 from openbts_ttsou_tpu.utils.config import ConfigurationTable
-from openbts_ttsou_tpu.utils.logger import get_logger
+from openbts_ttsou_tpu.utils.logger import ALARM, get_logger
 
 log = get_logger("openbts")
 
@@ -109,6 +109,8 @@ class BTSApp:
         self._last_fn = -1
         self._beacon_fn = 0
         self._last_load_log = 0.0
+        self._last_clock_fn = -1
+        self._last_clock_change = systime.monotonic()
 
     # -- transceiver child management (OpenBTS.cpp:93-155) -------------
     def restart_transceiver(self) -> None:
@@ -230,6 +232,19 @@ class BTSApp:
                     ch.reset()
                 self.bts.release(ch)
                 self.control.channel_transactions.pop(id(ch), None)
+        # transceiver hangup detector (OpenBTS.cpp:125-155): restart
+        # the child when the clock stops advancing past the timeout
+        if self.trx_child is not None:
+            fn_now2 = self.bts.clock.fn()
+            if fn_now2 != self._last_clock_fn:
+                self._last_clock_fn = fn_now2
+                self._last_clock_change = systime.monotonic()
+            elif systime.monotonic() - self._last_clock_change > \
+                    self.bts.config.get_int("TRX.HangupTimeout", 30):
+                log.log(ALARM, "transceiver hung (clock stalled); "
+                        "restarting")
+                self.restart_transceiver()
+                self._last_clock_change = systime.monotonic()
         # periodic load line (OpenBTS.cpp:157-172 writes a CSV to
         # log.out; we emit through the logger)
         now = systime.monotonic()

@@ -210,6 +210,15 @@ class XCCHL1(L1Channel):
             return
         self.good_frames += 1
         bits = np.asarray(l1fec.lsb8msb(np.asarray(frames)[0]))
+        from openbts_ttsou_tpu.utils import gsmtap
+
+        if gsmtap.gGSMTAP is not None:
+            # the reference's tap point (gWriteGSMTAP, GSML1FEC.cpp:790)
+            gsmtap.gGSMTAP.write_l2_frame(
+                bits, tn=self.tn, fn=burst.fn,
+                chan_type=gsmtap.CHANNEL_SDCCH, uplink=True,
+                rssi_db=int(burst.rssi),
+                sub_slot=getattr(self, "subchannel", 0))
         if self.upstream is not None:
             self.upstream.write_low_side(L2Frame(bits))
 
