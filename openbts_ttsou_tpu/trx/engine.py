@@ -231,6 +231,13 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     gate = has_energy.reshape(-1)
     success = gate & jnp.where(is_tsc, det_tsc.detected,
                                jnp.where(is_rach, det_rach.detected, False))
+    # RACH acceptance window: TOA must fall inside the configured
+    # maximum expected delay (detectRACHBurst's maxTOA bound driven by
+    # SETMAXDELAY, Transceiver.cpp pullRadioVector; 0 = unbounded)
+    max_toa = (jnp.repeat(state.max_expected_delay[:, None], 8, axis=1)
+               .reshape(-1).astype(jnp.float32) * cfg.sps)
+    success = success & jnp.where(
+        is_rach & (max_toa > 0), det_rach.toa <= max_toa, True)
     amplitude = jnp.where(is_tsc, det_tsc.amplitude, det_rach.amplitude)
     toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
 

@@ -229,3 +229,29 @@ def test_state_checkpoint_resume(tmp_path):
                                   np.asarray(res_b.soft_bits))
     np.testing.assert_array_equal(np.asarray(res_a.detected),
                                   np.asarray(res_b.detected))
+
+
+def test_rach_max_delay_gate():
+    """SETMAXDELAY bounds the RACH acceptance window
+    (detectRACHBurst maxTOA, Transceiver.cpp pullRadioVector)."""
+    cfg = TrxConfig(n_chan=1)
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 0] = ChanType.IV
+    rb = 9000.0 * np.asarray(
+        gmsk.modulate_burst(rach_burst_bits()[None], 1, guard_len=9))[0]
+    # delay the burst by 6 symbols inside the slot window
+    delayed = np.zeros(157, np.complex64)
+    delayed[6:] = rb[:151]  # tail guard clipped by the slot window
+
+    def run(max_delay):
+        st = init_state(cfg)._replace(
+            chan_type=jnp.asarray(chan_type),
+            max_expected_delay=jnp.asarray(np.full(1, max_delay,
+                                                   np.int32)))
+        frame = _mk_frame(cfg, {(0, 0): delayed})
+        _, res = rx_step(cfg, st, frame)
+        return bool(np.asarray(res.detected)[0, 0])
+
+    assert run(0)  # unbounded accepts
+    assert run(10)  # window covers the 6-symbol delay
+    assert not run(2)  # too-late burst rejected
