@@ -151,10 +151,13 @@ def main():
     float(np.asarray(probe))
     log("fused warm done; timing")
 
-    t0 = time.perf_counter()
-    probe, dets = fused(state, dev)
-    float(np.asarray(probe))
-    dt = max(time.perf_counter() - t0 - fetch_rtt, 1e-9)
+    from openbts_ttsou_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace():  # OPENBTS_TPU_TRACE=<dir> for an XPlane trace
+        t0 = time.perf_counter()
+        probe, dets = fused(state, dev)
+        float(np.asarray(probe))
+        dt = max(time.perf_counter() - t0 - fetch_rtt, 1e-9)
 
     total_samples = iters * n_chan * spec.block_in
     sps = total_samples / dt
