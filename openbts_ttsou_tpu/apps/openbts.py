@@ -92,8 +92,29 @@ class BTSApp:
             sacch.clock = self.bts.clock.fn
             self.bts.add_sdcch(ch)
             self.dcch.append(ch)
+        # SDCCH/8 slots (combination VII), OpenBTS.cpp NumC7s loop
+        n_c7 = c.get_int("GSM.NumC7s", 0)
+        self._c7_tns = []
+        tn_next = 1
+        for _ in range(min(n_c7, 7)):
+            tn = tn_next
+            tn_next += 1
+            self._c7_tns.append(tn)
+            for i in range(8):
+                dl, ul = tdma.SDCCH_8[i]
+                l1 = channels.XCCHL1(tn, dl, ul, tsc=self.bts.bcc)
+                l1.subchannel = i
+                sa_dl, sa_ul = tdma.SACCH_C8[i]
+                sacch = channels.SACCHL1(tn, sa_dl, sa_ul,
+                                         tsc=self.bts.bcc)
+                ch = channels.LogicalChannel(l1, sapis=(0, 3),
+                                             sacch=sacch)
+                l1.clock = self.bts.clock.fn
+                sacch.clock = self.bts.clock.fn
+                self.bts.add_sdcch(ch)
+                self.dcch.append(ch)
         n_tch = c.get_int("GSM.NumTCH", 2)
-        for tn in range(1, 1 + min(n_tch, 7)):
+        for tn in range(tn_next, tn_next + min(n_tch, 8 - tn_next)):
             tch = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
                                       tdma.FACCH_TCHF, tsc=self.bts.bcc)
             tch.clock = self.bts.clock.fn
@@ -130,6 +151,8 @@ class BTSApp:
         ok &= a.set_power(0)
         ok &= a.set_max_delay(4)
         ok &= a.set_slot(0, 5)  # C-V beacon slot (OpenBTS.cpp:213)
+        for tn in getattr(self, "_c7_tns", []):
+            ok &= a.set_slot(tn, 7)  # combination VII (SDCCH/8)
         for tn in sorted({t.tn for t in self.bts.tch_pool}):
             ok &= a.set_slot(tn, 1)  # combination I (TCH/F)
         ok &= a.power_on()

@@ -87,3 +87,39 @@ def test_config_file_driven_app(tmp_path):
     bts = BTSConfig(cfg)
     assert bts.arfcn == 207 and bts.lac == 1000
     assert bts.bsic() == 2
+
+
+def test_sdcch8_slots_from_config():
+    """GSM.NumC7s builds SDCCH/8 sets on their own slots
+    (combination VII, the reference's NumC7s loop)."""
+    import threading
+
+    from openbts_ttsou_tpu.utils.config import ConfigurationTable
+
+    daemon = TrxDaemon(LoopbackRadio(), TrxDaemonConfig(base_port=49790))
+    cfg = ConfigurationTable()
+    cfg.set("GSM.NumC7s", "1")
+    cfg.set("GSM.NumTCH", "1")
+    app = BTSApp(cfg, trx_base_port=49790)
+    try:
+        # 4 SDCCH/4 + 8 SDCCH/8
+        assert app.bts.sdcch_total() == 12
+        assert sum(1 for ch in app.bts.sdcch_pool if ch.l1.tn == 1) == 8
+        # TCH moved past the C-VII slot
+        assert [t.tn for t in app.bts.tch_pool] == [2]
+        stop = threading.Event()
+
+        def loop():
+            while not stop.is_set():
+                daemon.step()
+                time.sleep(0.001)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+        try:
+            assert app.bringup()
+        finally:
+            stop.set()
+            t.join(timeout=2)
+    finally:
+        app.shutdown()
