@@ -84,8 +84,11 @@ class ControlLayer:
             return None
         self.bts.shrink_t3122()
         sub = getattr(channel.l1, "subchannel", 0)
+        # GSM 04.08 10.5.2.5 channel type: SDCCH/4 on the C-V beacon
+        # slot (TN0) = 4+sub; SDCCH/8 on a C-VII slot = 8+sub
+        cbits = (4 + sub) if channel.l1.tn == 0 else (8 + sub)
         desc = rr.ChannelDescription(
-            type_and_offset=4 + sub,  # SDCCH/4 + subchannel (C-V slot)
+            type_and_offset=cbits,
             tn=channel.l1.tn, tsc=self.bts.bcc, arfcn=self.bts.arfcn)
         ta = max(0, min(63, int(round(timing_error))))
         msg = rr.ImmediateAssignment(
