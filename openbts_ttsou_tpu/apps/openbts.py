@@ -130,6 +130,7 @@ class BTSApp:
         self._last_fn = -1
         self._beacon_fn = 0
         self._last_load_log = 0.0
+        self._si56_flip = 0
         self._last_clock_fn = -1
         self._last_clock_change = systime.monotonic()
 
@@ -221,10 +222,21 @@ class BTSApp:
         while self._beacon_fn <= horizon:
             self._generate_downlink(self._beacon_fn)
             self._beacon_fn += 1
-        # dedicated-channel downlink
+        # dedicated-channel downlink; open SACCHs idle-fill with the
+        # SI5/SI6 rotation (GSMConfig mSI5Frame/mSI6Frame served by
+        # SACCHL1Encoder between dedicated frames)
         for ch in self.dcch:
+            if ch.sacch is not None and ch.sacch.active and \
+                    not ch.sacch.tx_queue and \
+                    ch.sacch.next_write_fn <= horizon:
+                ch.send_sacch(self.bts.sacch_fill_frame(self._si56_flip))
+                self._si56_flip += 1
             while ch.l1.tx_queue and ch.l1.tx_queue[0].fn <= horizon:
                 arfcn.write_high_side(ch.l1.tx_queue.popleft())
+            if ch.sacch is not None:
+                while ch.sacch.tx_queue and \
+                        ch.sacch.tx_queue[0].fn <= horizon:
+                    arfcn.write_high_side(ch.sacch.tx_queue.popleft())
         # TCH downlink: keep each open channel's 4-burst blocks ahead
         # of the clock (speech > FACCH > silence filler), and run the
         # in-call voice pumps (CallControl.cpp:393-407 loop body)

@@ -155,6 +155,21 @@ class BTSConfig:
     def si3_frame(self) -> L3Frame:
         return L3Frame(self.si3().encode(), Primitive.UNIT_DATA)
 
+    def si5(self) -> rr.SystemInformationType5:
+        return rr.SystemInformationType5(
+            rr.CellChannelDescription((self.arfcn,)
+                                      if 1 <= self.arfcn <= 124 else ()))
+
+    def si6(self) -> rr.SystemInformationType6:
+        return rr.SystemInformationType6(cell_id=self.cell_id,
+                                         lai=self.lai())
+
+    def sacch_fill_frame(self, which: int) -> L3Frame:
+        """SI5/SI6 alternating SACCH downlink fill (GSMConfig
+        mSI5Frame/mSI6Frame, GSMConfig.h:99-131)."""
+        si = self.si5() if which % 2 == 0 else self.si6()
+        return L3Frame(si.encode(), Primitive.UNIT_DATA)
+
     # -- CCCH scheduling ----------------------------------------------
     def send_agch(self, frame: L3Frame) -> None:
         self.agch_q.append(frame)

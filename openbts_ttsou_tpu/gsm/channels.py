@@ -527,6 +527,14 @@ class LogicalChannel:
             return None
         return self.sacch_l2.read_high_side()
 
+    def send_sacch(self, l3: L3Frame) -> None:
+        """Downlink SACCH frame (SI5/SI6 fill or dedicated signaling)."""
+        if self.sacch is None:
+            return
+        self.sacch_l2.write_high_side(l3)
+        for frame in self.sacch_l2.take_l1_out():
+            self.sacch_mux.write_high_side(frame)
+
     def send(self, l3: L3Frame, sapi: int = 0) -> None:
         """L3 → LAPDm → L1 (LogicalChannel::send)."""
         self.l2[sapi].write_high_side(l3)

@@ -431,6 +431,51 @@ class MeasurementReport(L3Message):
 
 
 @register
+class SystemInformationType5(L3Message):
+    """GSM 04.08 9.1.37: BCCH frequency list on the SACCH
+    (L3SystemInformationType5, GSML3RRMessages.h:395)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x1D
+
+    def __init__(self, neighbors: CellChannelDescription | None = None):
+        self.neighbors = neighbors or CellChannelDescription(())
+
+    def write_body(self, w: BitWriter) -> None:
+        self.neighbors.write_v(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.neighbors = CellChannelDescription.parse_v(r)
+
+
+@register
+class SystemInformationType6(L3Message):
+    """GSM 04.08 9.1.40: CI + LAI + SACCH cell options + NCC permitted
+    (L3SystemInformationType6, GSML3RRMessages.h:427)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x1E
+
+    def __init__(self, cell_id: int = 0, lai: LAI | None = None,
+                 ncc_permitted: int = 0xFF):
+        self.cell_id = cell_id
+        self.lai = lai or LAI()
+        self.ncc_permitted = ncc_permitted
+
+    def write_body(self, w: BitWriter) -> None:
+        w.field(self.cell_id, 16)
+        self.lai.write_v(w)
+        w.octet(0)  # cell options (SACCH), 10.5.2.3
+        w.octet(self.ncc_permitted)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cell_id = r.field(16)
+        self.lai = LAI.parse_v(r)
+        r.octet()
+        self.ncc_permitted = r.octet()
+
+
+@register
 class SystemInformationType3(L3Message):
     """GSM 04.08 9.1.35 — the SI3 subset the reference broadcasts
     (cell identity, LAI, control channel description, cell options,

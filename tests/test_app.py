@@ -123,3 +123,21 @@ def test_sdcch8_slots_from_config():
             t.join(timeout=2)
     finally:
         app.shutdown()
+
+
+def test_sacch_si56_fill(rig):
+    """Open SACCHs idle-fill with the SI5/SI6 rotation."""
+    app, daemon = rig
+    ch = app.bts.get_sdcch()
+    try:
+        ch.open(app.bts.clock.fn())
+        for _ in range(10):
+            app.step()
+            time.sleep(0.002)
+        total = app._si56_flip
+        assert total >= 1  # fill frames were generated
+    finally:
+        ch.l1.close()
+        if ch.sacch is not None:
+            ch.sacch.close()
+        app.bts.release(ch)
