@@ -209,6 +209,14 @@ class BTSApp:
                     # SACCH measurement path, GSML1FEC.cpp:685-695)
                     ch.sacch.ordered_ms_power = max(
                         5, min(33, 33 - (msg.rxlev_full - 40) // 4))
+                    # closed-loop timing advance from the decoder's
+                    # averaged timing error (L1Decoder::setPhy →
+                    # ordered TA in the SACCH L1 header)
+                    n = max(ch.l1.phy_count, 1)
+                    ta = ch.sacch.ordered_ms_timing + \
+                        ch.l1.timing_sum / n
+                    ch.sacch.ordered_ms_timing = max(0, min(63,
+                                                            int(ta)))
             while True:
                 l3 = ch.recv(3)  # SMS SAP
                 if l3 is None:
