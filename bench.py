@@ -110,12 +110,19 @@ def main():
             sym[c, off: off + 148] += wave
     from openbts_ttsou_tpu.ops import fir
     _lpf_up = fir.resampler_lpf(96, 65, 651)
-    log("prep: compiling+running device-rate resample")
+    # tiny end-to-end relay check first: compile+exec+fetch a scalar
+    log("relay check: scalar round trip")
+    chk = jax.jit(lambda a: jnp.sum(a * a))(jnp.asarray(
+        np.ones((128,), np.float32)))
+    float(np.asarray(chk))
+    log("relay check done; prep: compiling+running device-rate resample")
     dev = jax.jit(
         lambda s: fir.polyphase_resample(s, 96, 65, _lpf_up)
         [:, : spec.block_in]
-    )(jnp.asarray(sym))  # one compiled prep program; no D2H needed
-    log("prep done")
+    )(jnp.asarray(sym))  # one compiled prep program
+    # force prep execution to complete before timing anything
+    float(np.asarray(jnp.sum(jnp.abs(dev[:, :8]))))
+    log("prep done (synced)")
 
     # One fused program: scan `iters` chained uplink blocks and return a
     # scalar probe. Exactly one compile, one execute, one device→host
