@@ -131,6 +131,7 @@ class BTSApp:
         self._beacon_fn = 0
         self._last_load_log = 0.0
         self._si56_flip = 0
+        self._link_was_up: dict = {}
         self._last_clock_fn = -1
         self._last_clock_change = systime.monotonic()
 
@@ -262,6 +263,30 @@ class BTSApp:
         if self.sip:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()
+        # normal release: the MS closed its LAPDm (DISC) — reclaim the
+        # channel once the link drops (the reference's T3111 close-out
+        # in DCCHDispatch after RELEASE)
+        from openbts_ttsou_tpu.gsm.lapdm import LAPDState
+
+        for ch in self.dcch:
+            st = ch.l2[0].state
+            if st == LAPDState.LinkEstablished:
+                # key the flag to this occupancy (open time) so a
+                # reallocated channel is never reclaimed spuriously
+                self._link_was_up[id(ch)] = getattr(
+                    ch.l1, "opened_at_s", None)
+            elif st == LAPDState.LinkReleased and \
+                    self._link_was_up.pop(id(ch), None) == getattr(
+                        ch.l1, "opened_at_s", object()) and ch.l1.active:
+                log.info("link released by MS; reclaiming TN%d sub%d",
+                         ch.l1.tn, getattr(ch.l1, "subchannel", 0))
+                ch.l1.close()
+                if ch.sacch is not None:
+                    ch.sacch.close()
+                if hasattr(ch, "reset"):
+                    ch.reset()
+                self.bts.release(ch)
+                self.control.channel_transactions.pop(id(ch), None)
         # channel recycling (decoder timeouts, GSML1FEC.cpp:365-372)
         now = systime.monotonic()
         t3101 = self.bts.config.get_int("GSM.Timer.T3101", 8000) / 1000.0

@@ -141,3 +141,21 @@ def test_sacch_si56_fill(rig):
         if ch.sacch is not None:
             ch.sacch.close()
         app.bts.release(ch)
+
+
+def test_ms_link_release_reclaims_channel(rig):
+    """An MS DISC (LAPDm release) hands the SDCCH back to the pool
+    (the reference's post-RELEASE close-out in DCCHDispatch)."""
+    from openbts_ttsou_tpu.gsm.lapdm import LAPDState
+
+    app, daemon = rig
+    free0 = app.bts.sdcch_available()
+    ch = app.bts.get_sdcch()
+    ch.open(app.bts.clock.fn())
+    # simulate an established then MS-released link
+    ch.l2[0].state = LAPDState.LinkEstablished
+    app.step()
+    ch.l2[0].state = LAPDState.LinkReleased
+    app.step()
+    assert app.bts.sdcch_available() == free0
+    assert not ch.l1.active
