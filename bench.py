@@ -181,6 +181,8 @@ def main():
         "detail": {
             "n_chan": n_chan,
             "iters": iters,
+            "frame_latency_ms": round(dt / (iters * spec.frames) * 1e3,
+                                      3),
             "mode": mode,
             "seconds": round(dt, 4),
             "fetch_rtt_s": round(fetch_rtt, 4),

@@ -93,6 +93,15 @@ class TrxDaemon:
         if kind != "CMD":
             return None
         self._send_clock()
+        try:
+            return self._dispatch_command(verb, args, carrier)
+        except (ValueError, IndexError, TypeError):
+            # malformed arguments: NAK like the reference's bogus-
+            # command path (driveControl, Transceiver.cpp:423-569)
+            return proto.pack_response(verb, 1)
+
+    def _dispatch_command(self, verb: str, args, carrier: int
+                          ) -> bytes | None:
         ok = 0
         extra: tuple = ()
         if verb == "POWEROFF":

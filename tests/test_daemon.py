@@ -154,3 +154,24 @@ def test_alignment_measurement():
                        TrxDaemonConfig(base_port=45800))
     offset = daemon.measure_alignment()
     assert offset == 37
+
+
+def test_control_robustness():
+    """Malformed control packets must not crash the daemon (the
+    reference logs bogus commands and answers RSP ... NAK)."""
+    from openbts_ttsou_tpu.trx.daemon import TrxDaemon, TrxDaemonConfig
+    from openbts_ttsou_tpu.trx.radio import LoopbackRadio
+
+    daemon = TrxDaemon(LoopbackRadio(), TrxDaemonConfig(base_port=49950))
+    for pkt in (b"", b"CMD", b"CMD BOGUSVERB 1 2 3", b"\xff\x00garbage",
+                b"CMD SETSLOT notanint x", b"IND CLOCK 5",
+                b"CMD RXTUNE"):
+        try:
+            daemon.handle_control(pkt)
+        except Exception as e:
+            raise AssertionError(f"daemon crashed on {pkt!r}: {e}")
+    # well-formed command still works afterwards
+    from openbts_ttsou_tpu.trx import protocol as proto
+
+    rsp = daemon.handle_control(proto.pack_command("POWEROFF"))
+    assert rsp is not None and b"POWEROFF" in rsp
