@@ -671,3 +671,15 @@ def test_over_the_air_voice_call(rig):
     matches = sum(any(np.array_equal(d, s) for s in down) for d in decoded)
     assert matches >= 2, \
         f"downlink speech not decoded ({len(ms_rx.speech_out)} frames)"
+
+    # --- MS releases the link over the air (DISC → reclaim) ------------
+    ms.l2.write_high_side(L3Frame(primitive=Primitive.RELEASE))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    freed = False
+    for _ in range(200):
+        pump(app, daemon)
+        if app.bts.sdcch_available() == free_before:
+            freed = True
+            break
+    assert freed, "SDCCH not reclaimed after MS DISC"
