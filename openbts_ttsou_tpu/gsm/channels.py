@@ -78,6 +78,8 @@ class L1Channel:
         self.phy_count = 0
         self.good_frames = 0
         self.bad_frames = 0
+        self.opened_at_s = 0.0
+        self.last_good_s = 0.0
 
     def open(self, fn: int = 0) -> None:
         import time as _time
