@@ -45,8 +45,8 @@ def log(msg):
 def main():
     import numpy as np
 
-    n_chan = int(os.environ.get("BENCH_CHANNELS", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    n_chan = int(os.environ.get("BENCH_CHANNELS", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
     mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact
 
     baseline_sps = measure_cpu_baseline()
