@@ -75,6 +75,8 @@ class TrxDaemon:
         self.power = [-10] * cfg.n_arfcn
         self.fn = cfg.start_fn  # receive-side frame clock
         self.tx_fn = cfg.start_fn + cfg.tx_latency_frames
+        self.underruns = 0
+        self.clock_lead = proto.CLOCK_LEAD_FRAMES
         self.last_clock_fn: Optional[int] = None
         self.pending_tx: Dict[Tuple[int, int, int], proto.DownlinkBurst] = {}
 
@@ -163,6 +165,19 @@ class TrxDaemon:
             burst = proto.unpack_downlink(data)
         except ValueError:
             return
+        # adaptive transmit latency (driveTransmitFIFO,
+        # Transceiver.cpp:688-716): a burst arriving for a frame we
+        # already transmitted is an underrun — grow the clock lead so
+        # the BTS schedules further ahead; shrink slowly when clean.
+        if (self.tx_fn - burst.fn) % HYPERFRAME < HYPERFRAME // 2 and \
+                burst.fn != self.tx_fn:
+            self.underruns += 1
+            self.clock_lead = min(self.clock_lead + 1, 40)
+            self._send_clock(force=True)
+        elif self.underruns and (burst.fn - self.tx_fn) % HYPERFRAME > \
+                self.clock_lead + 10:
+            self.clock_lead = max(self.clock_lead - 1,
+                                  proto.CLOCK_LEAD_FRAMES)
         self.pending_tx[(carrier, burst.fn % HYPERFRAME, burst.tn)] = burst
 
     def _frame_ts(self, fn: int) -> int:
@@ -243,9 +258,9 @@ class TrxDaemon:
         peak = int(np.argmax(np.abs(window)))
         return peak - probe_len  # samples of Tx→Rx delay
 
-    def _send_clock(self) -> None:
+    def _send_clock(self, force: bool = False) -> None:
         self.clock_sock.send(proto.pack_clock(
-            (self.tx_fn + proto.CLOCK_LEAD_FRAMES) % HYPERFRAME))
+            (self.tx_fn + self.clock_lead) % HYPERFRAME))
         self.last_clock_fn = self.tx_fn
 
     def step(self) -> None:

@@ -175,3 +175,28 @@ def test_control_robustness():
 
     rsp = daemon.handle_control(proto.pack_command("POWEROFF"))
     assert rsp is not None and b"POWEROFF" in rsp
+
+
+def test_adaptive_clock_lead_on_underrun():
+    """Late downlink bursts grow the advertised clock lead
+    (driveTransmitFIFO adaptation, Transceiver.cpp:688-716)."""
+    from openbts_ttsou_tpu.trx import protocol as proto
+    from openbts_ttsou_tpu.trx.daemon import TrxDaemon, TrxDaemonConfig
+    from openbts_ttsou_tpu.trx.radio import LoopbackRadio
+
+    daemon = TrxDaemon(LoopbackRadio(), TrxDaemonConfig(base_port=49960))
+    lead0 = daemon.clock_lead
+    import numpy as np
+
+    bits = np.zeros(148, np.uint8)
+    # a burst for a frame already transmitted = underrun
+    late_fn = (daemon.tx_fn - 2) % (2715648)
+    daemon.handle_downlink(proto.pack_downlink(
+        proto.DownlinkBurst(tn=0, fn=late_fn, gain=0, bits=bits)))
+    assert daemon.underruns == 1
+    assert daemon.clock_lead == lead0 + 1
+    # comfortably-early bursts shrink it back toward the floor
+    early_fn = (daemon.tx_fn + daemon.clock_lead + 20) % (2715648)
+    daemon.handle_downlink(proto.pack_downlink(
+        proto.DownlinkBurst(tn=0, fn=early_fn, gain=0, bits=bits)))
+    assert daemon.clock_lead == lead0
