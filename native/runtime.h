@@ -14,6 +14,7 @@ extern "C" {
 // ---- UDP datagram transport (UDPSocket, Sockets.h:128) ----------------
 // Returns a handle (>=0) or -1 on error.
 int udt_open(int local_port, const char *remote_host, int remote_port);
+int udt_open_unix(const char *local_path, const char *remote_path);
 // Send to the configured remote. Returns bytes sent or -1.
 int udt_send(int h, const void *buf, int len);
 // Blocking receive with timeout_ms (-1 = forever). Returns bytes, 0 on

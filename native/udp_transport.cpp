@@ -10,13 +10,15 @@
 #include <netdb.h>
 #include <sys/select.h>
 #include <sys/socket.h>
+#include <sys/un.h>
 #include <unistd.h>
 
 namespace {
 
 struct Conn {
   int fd = -1;
-  sockaddr_in remote{};
+  sockaddr_storage remote{};
+  socklen_t remote_len = 0;
   bool used = false;
 };
 
@@ -54,7 +56,41 @@ extern "C" int udt_open(int local_port, const char *remote_host,
   std::lock_guard<std::mutex> g(g_lock);
   for (int i = 0; i < kMax; i++) {
     if (!g_conns[i].used) {
-      g_conns[i] = {fd, remote, true};
+      g_conns[i].fd = fd;
+      std::memcpy(&g_conns[i].remote, &remote, sizeof(remote));
+      g_conns[i].remote_len = sizeof(remote);
+      g_conns[i].used = true;
+      return i;
+    }
+  }
+  ::close(fd);
+  return -1;
+}
+
+// Unix-domain datagram variant (CommonLibs UDDSocket, Sockets.h:157).
+extern "C" int udt_open_unix(const char *local_path,
+                             const char *remote_path) {
+  int fd = ::socket(AF_UNIX, SOCK_DGRAM, 0);
+  if (fd < 0) return -1;
+  sockaddr_un local{};
+  local.sun_family = AF_UNIX;
+  std::strncpy(local.sun_path, local_path, sizeof(local.sun_path) - 1);
+  ::unlink(local_path);
+  if (::bind(fd, (sockaddr *)&local, sizeof(local)) < 0) {
+    ::close(fd);
+    return -1;
+  }
+  sockaddr_un remote{};
+  remote.sun_family = AF_UNIX;
+  if (remote_path && remote_path[0])
+    std::strncpy(remote.sun_path, remote_path, sizeof(remote.sun_path) - 1);
+  std::lock_guard<std::mutex> g(g_lock);
+  for (int i = 0; i < kMax; i++) {
+    if (!g_conns[i].used) {
+      g_conns[i].fd = fd;
+      std::memcpy(&g_conns[i].remote, &remote, sizeof(remote));
+      g_conns[i].remote_len = sizeof(remote);
+      g_conns[i].used = true;
       return i;
     }
   }
@@ -66,7 +102,7 @@ extern "C" int udt_send(int h, const void *buf, int len) {
   if (h < 0 || h >= kMax || !g_conns[h].used) return -1;
   return (int)::sendto(g_conns[h].fd, buf, (size_t)len, 0,
                        (sockaddr *)&g_conns[h].remote,
-                       sizeof(g_conns[h].remote));
+                       g_conns[h].remote_len);
 }
 
 extern "C" int udt_recv(int h, void *buf, int maxlen, int timeout_ms) {

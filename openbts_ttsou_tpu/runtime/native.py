@@ -41,6 +41,8 @@ def load_runtime() -> ctypes.CDLL:
                                  ctypes.c_int]
         lib.udt_recv.restype = ctypes.c_int
         lib.udt_close.argtypes = [ctypes.c_int]
+        lib.udt_open_unix.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.udt_open_unix.restype = ctypes.c_int
         lib.ring_create.argtypes = [ctypes.c_size_t]
         lib.ring_create.restype = ctypes.c_void_p
         lib.ring_destroy.argtypes = [ctypes.c_void_p]
@@ -55,6 +57,22 @@ def load_runtime() -> ctypes.CDLL:
         lib.ring_start_ts.restype = ctypes.c_int64
         _lib = lib
         return lib
+
+
+class UnixDatagramTransport:
+    """Unix-domain datagram plane (UDDSocket, CommonLibs/Sockets.h:157).
+    Same send/recv/close surface as `UdpTransport`."""
+
+    def __init__(self, local_path: str, remote_path: str = ""):
+        self._lib = load_runtime()
+        self._h = self._lib.udt_open_unix(local_path.encode(),
+                                          remote_path.encode())
+        if self._h < 0:
+            raise OSError(f"udt_open_unix failed on {local_path}")
+
+    send = None  # bound below, shared with UdpTransport
+    recv = None
+    close = None
 
 
 class UdpTransport:
@@ -135,3 +153,10 @@ class SampleRing:
                 self._r = None
         except Exception:
             pass
+
+
+# UDD shares the handle-based data path with UDP
+UnixDatagramTransport.send = UdpTransport.send
+UnixDatagramTransport.recv = UdpTransport.recv
+if hasattr(UdpTransport, "close"):
+    UnixDatagramTransport.close = UdpTransport.close

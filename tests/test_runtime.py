@@ -85,3 +85,16 @@ def test_control_messages():
     assert proto.pack_response("RXTUNE", 0, 890000) == \
         b"RSP RXTUNE 0 890000\x00"
     assert proto.pack_clock(42) == b"IND CLOCK 42\x00"
+
+
+def test_unix_datagram_transport(tmp_path):
+    from openbts_ttsou_tpu.runtime.native import UnixDatagramTransport
+
+    a_path = str(tmp_path / "a.sock")
+    b_path = str(tmp_path / "b.sock")
+    a = UnixDatagramTransport(a_path, b_path)
+    b = UnixDatagramTransport(b_path, a_path)
+    assert a.send(b"over the wall") == 13
+    assert b.recv(64, timeout_ms=500) == b"over the wall"
+    assert b.send(b"ack") == 3
+    assert a.recv(64, timeout_ms=500) == b"ack"
