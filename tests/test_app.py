@@ -159,3 +159,30 @@ def test_ms_link_release_reclaims_channel(rig):
     app.step()
     assert app.bts.sdcch_available() == free0
     assert not ch.l1.active
+
+
+def test_inbound_sip_message_and_invite_hooks(rig):
+    """Inbound SIP MESSAGE → MT-SMS transaction + page; INVITE →
+    MT-call transaction + page (SIPInterface demux callbacks)."""
+    from openbts_ttsou_tpu.control.common import ServiceType
+    from openbts_ttsou_tpu.sip.message import make_request
+
+    app, _ = rig
+    imsi = "001019999999999"
+    msg = make_request("MESSAGE", f"IMSI{imsi}", "411", "127.0.0.1",
+                       5062, "127.0.0.1", 5060, body="mt text")
+    app._on_message(msg)
+    t = app.control.transactions.find_by_imsi(
+        imsi, services=(ServiceType.MobileTerminatedSMS,))
+    assert t is not None and t.message == "mt text"
+    assert app.bts.pager.size() >= 1
+    app.control.transactions.remove(t.id)
+
+    inv = make_request("INVITE", f"IMSI{imsi}", "2125550000",
+                       "127.0.0.1", 5062, "127.0.0.1", 5060)
+    app._on_invite(inv)
+    t = app.control.transactions.find_by_imsi(
+        imsi, services=(ServiceType.MobileTerminatedCall,))
+    assert t is not None and t.calling == "2125550000"
+    assert t.sip is not None
+    app.control.transactions.remove(t.id)
