@@ -109,6 +109,7 @@ def main():
             off = f * 1250 + 157
             sym[c, off: off + 148] += wave
     from openbts_ttsou_tpu.ops import fir
+    from openbts_ttsou_tpu.utils.xfer import device_put_safe
     _lpf_up = fir.resampler_lpf(96, 65, 651)
     # tiny end-to-end relay check first: compile+exec+fetch a scalar
     log("relay check: scalar round trip")
@@ -119,7 +120,7 @@ def main():
     dev = jax.jit(
         lambda s: fir.polyphase_resample(s, 96, 65, _lpf_up)
         [:, : spec.block_in]
-    )(jnp.asarray(sym))  # one compiled prep program
+    )(device_put_safe(sym))  # one compiled prep program
     # force prep execution to complete before timing anything
     float(np.asarray(jnp.sum(jnp.abs(dev[:, :8]))))
     log("prep done (synced)")

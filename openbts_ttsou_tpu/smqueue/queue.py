@@ -1,14 +1,17 @@
 """RFC 3428 store-and-forward SMS daemon.
 
 Reference behavior: `smqueue/` — `short_msg`/`short_msg_pending` with a
-~25-state per-message machine (smqueue.h:100,306), a time-sorted queue,
-the `main_loop` (smqueue.cpp:1819) over its own SIP mini-stack
-(`smnet.{h,cpp}`), and shortcode command plugins (`smcommands.cpp`).
+16-state per-message machine (`smqueue.h:59-83`), a time-sorted queue,
+per-state timeout tables with a next-state-on-timeout transition
+(`smqueue.cpp:46-120`), the `main_loop` (smqueue.cpp:1819) over its own
+SIP mini-stack (`smnet.{h,cpp}`), and shortcode command plugins
+(`smcommands.cpp`).
 
-This implementation keeps the same shape — a priority queue of pending
-messages with per-state timeouts and retries, destination lookup via a
-registry, and pluggable shortcode handlers — condensed to the states the
-daemon actually transitions through.
+This implementation keeps the full state set and the timeout-table
+idiom: each message sits in the priority queue keyed by its next action
+time; when it pops, the handler for its state runs; "ASKED_*" states
+are waits on an external reply whose timeout falls back to the matching
+"REQUEST_*" retry state.
 """
 
 from __future__ import annotations
@@ -26,24 +29,62 @@ from openbts_ttsou_tpu.utils.logger import get_logger
 log = get_logger("smqueue")
 
 
-class ShortMsgState(enum.Enum):
-    """Condensed short_msg_pending states (smqueue.h:306)."""
+class ShortMsgState(enum.IntEnum):
+    """The reference's sm_state enum (smqueue.h:59-83), 1:1."""
 
-    InitialState = 0
+    NoState = 0
     RequestFromAddressLookup = 1
-    RequestDestinationImsiLookup = 2
-    RequestDestinationSipUrl = 3
-    ReadyToSend = 4
-    AwaitingTryDestination = 5
-    WaitingForDeliveryAck = 6
-    DeliveredAndAcked = 7
-    DeleteMeState = 8
-    NoNotaryWhatsoever = 9  # terminal failure
+    AskedForFromAddressLookup = 2
+    AwaitingTryDestinationImsi = 3
+    RequestDestinationImsi = 4
+    AskedForDestinationImsi = 5
+    AwaitingTryDestinationSipUrl = 6
+    RequestDestinationSipUrl = 7
+    AskedForDestinationSipUrl = 8
+    AwaitingTryMsgDelivery = 9
+    RequestMsgDelivery = 10
+    AskedForMsgDelivery = 11
+    DeleteMeState = 12
+    AwaitingRegisterHandset = 13
+    RegisterHandset = 14
+    AskedToRegisterHandset = 15
+
+
+INITIAL_STATE = ShortMsgState.RequestFromAddressLookup
+
+#: state → (timeout seconds, state entered when the timeout fires)
+#: — the reference's `timeouts_*` tables (smqueue.cpp:46-120) condensed
+#: to the transitions the daemon takes.
+STATE_TIMEOUTS: Dict[ShortMsgState, tuple[float, ShortMsgState]] = {
+    ShortMsgState.AskedForFromAddressLookup:
+        (10.0, ShortMsgState.RequestFromAddressLookup),
+    ShortMsgState.AwaitingTryDestinationImsi:
+        (30.0, ShortMsgState.RequestDestinationImsi),
+    ShortMsgState.AskedForDestinationImsi:
+        (10.0, ShortMsgState.RequestDestinationImsi),
+    ShortMsgState.AwaitingTryDestinationSipUrl:
+        (30.0, ShortMsgState.RequestDestinationSipUrl),
+    ShortMsgState.AskedForDestinationSipUrl:
+        (10.0, ShortMsgState.RequestDestinationSipUrl),
+    ShortMsgState.AwaitingTryMsgDelivery:
+        (30.0, ShortMsgState.RequestMsgDelivery),
+    ShortMsgState.AskedForMsgDelivery:
+        (30.0, ShortMsgState.RequestMsgDelivery),
+    ShortMsgState.AwaitingRegisterHandset:
+        (30.0, ShortMsgState.RegisterHandset),
+    ShortMsgState.AskedToRegisterHandset:
+        (10.0, ShortMsgState.RegisterHandset),
+}
+
+
+def sm_state_name(state: ShortMsgState) -> str:
+    """Printable state name (sm_state_strings, smqueue.h:89-90)."""
+    return state.name
 
 
 @dataclasses.dataclass(order=True)
 class ShortMsg:
-    """One queued message (short_msg_pending)."""
+    """One queued message (short_msg_pending, smqueue.h:306)."""
 
     next_action_time: float
     seq: int = dataclasses.field(compare=True)
@@ -51,26 +92,42 @@ class ShortMsg:
     to: str = dataclasses.field(compare=False, default="")
     body: str = dataclasses.field(compare=False, default="")
     state: ShortMsgState = dataclasses.field(
-        compare=False, default=ShortMsgState.InitialState)
+        compare=False, default=INITIAL_STATE)
     retries: int = dataclasses.field(compare=False, default=0)
     call_id: str = dataclasses.field(compare=False, default="")
+    dest_imsi: str = dataclasses.field(compare=False, default="")
+    dest_url: str = dataclasses.field(compare=False, default="")
+
+    def set_state(self, st: ShortMsgState, now: float) -> None:
+        self.state = st
+        timeout = STATE_TIMEOUTS.get(st)
+        # REQUEST_*/terminal states are immediately actionable
+        self.next_action_time = now + (timeout[0] if timeout else 0.0)
 
 
 class SMq:
     """The store-and-forward engine (SMq, smqueue.h; main_loop
-    smqueue.cpp:1819). Transport is injected for testability."""
+    smqueue.cpp:1819). Transport and lookups are injected for
+    testability."""
 
     MAX_RETRIES = 5
     RETRY_INTERVAL_S = 30.0
 
     def __init__(self, send: Callable[[str, str], None],
                  resolve: Callable[[str], Optional[str]],
+                 resolve_sender: Optional[Callable[[str], bool]] = None,
+                 register_handset: Optional[Callable[[str], bool]] = None,
                  local_host: str = "127.0.0.1", local_port: int = 5063):
         """send(dest_uri_user, rendered_request): deliver a SIP MESSAGE;
-        resolve(user): user/shortcode → registered destination user, or
-        None if unknown."""
+        resolve(user): user/shortcode → registered destination user
+        (the IMSI/SIP-URL lookup pair), or None if unknown;
+        resolve_sender(user): from-address validation (True = known);
+        register_handset(user): kick off handset registration for an
+        unregistered destination (the REGISTER_HANDSET flow)."""
         self._send = send
         self._resolve = resolve
+        self._resolve_sender = resolve_sender or (lambda u: True)
+        self._register_handset = register_handset
         self.local_host = local_host
         self.local_port = local_port
         self._heap: List[ShortMsg] = []
@@ -91,8 +148,7 @@ class SMq:
         """Accept a MESSAGE into the queue (handles shortcodes
         immediately, like the reference's originate/shortcode path)."""
         msg = ShortMsg(systime.monotonic(), next(self._seq), frm, to,
-                       body, ShortMsgState.RequestDestinationSipUrl,
-                       call_id=call_id)
+                       body, INITIAL_STATE, call_id=call_id)
         handler = self.shortcodes.get(to)
         if handler is not None:
             reply = handler(msg)
@@ -113,22 +169,43 @@ class SMq:
 
     def handle_delivery_response(self, call_id: str, status: int) -> None:
         """A response for a forwarded MESSAGE arrived."""
+        now = systime.monotonic()
         for m in self._heap:
             if m.call_id == call_id and \
-                    m.state == ShortMsgState.WaitingForDeliveryAck:
+                    m.state == ShortMsgState.AskedForMsgDelivery:
                 if status == 200:
-                    m.state = ShortMsgState.DeliveredAndAcked
-                    m.next_action_time = systime.monotonic()
+                    m.set_state(ShortMsgState.DeleteMeState, now)
+                    self.delivered.append(m)
                 elif status >= 400:
-                    m.state = ShortMsgState.ReadyToSend  # retry later
-                    m.next_action_time = systime.monotonic() + \
-                        self.RETRY_INTERVAL_S
+                    m.retries += 1
+                    m.set_state(ShortMsgState.RequestMsgDelivery, now)
+                    m.next_action_time = now + self.RETRY_INTERVAL_S
                 heapq.heapify(self._heap)
                 return
+
+    def handle_registration_complete(self, user: str, ok: bool) -> None:
+        """Handset registration finished (the ASKED_TO_REGISTER_HANDSET
+        exit): re-run the destination lookup, or bounce."""
+        now = systime.monotonic()
+        for m in self._heap:
+            if m.to == user and m.state in (
+                    ShortMsgState.AskedToRegisterHandset,
+                    ShortMsgState.AwaitingRegisterHandset):
+                m.set_state(ShortMsgState.RequestDestinationImsi if ok
+                            else ShortMsgState.DeleteMeState, now)
+                if not ok:
+                    self.failed.append(m)
+        heapq.heapify(self._heap)
 
     # -- the queue engine (main_loop) ----------------------------------
     def queue_size(self) -> int:
         return len(self._heap)
+
+    def _bounce(self, msg: ShortMsg, now: float) -> None:
+        """Give up: the reference bounces an error message to the
+        sender and deletes (bounce_message, smqueue.cpp)."""
+        msg.set_state(ShortMsgState.DeleteMeState, now)
+        self.failed.append(msg)
 
     def process_queue(self, now: Optional[float] = None) -> int:
         """Run all due state transitions; returns actions taken."""
@@ -139,22 +216,45 @@ class SMq:
             msg = heapq.heappop(self._heap)
             actions += 1
             st = msg.state
-            if st in (ShortMsgState.InitialState,
-                      ShortMsgState.RequestDestinationSipUrl):
+
+            if st in (ShortMsgState.NoState,
+                      ShortMsgState.RequestFromAddressLookup):
+                # annotate/verify the sender; unknown senders still
+                # forward (the reference only marks them)
+                self._resolve_sender(msg.frm)
+                msg.set_state(ShortMsgState.RequestDestinationImsi, now)
+                requeue.append(msg)
+
+            elif st in (ShortMsgState.AwaitingTryDestinationImsi,
+                        ShortMsgState.RequestDestinationImsi):
                 dest = self._resolve(msg.to)
                 if dest is None:
+                    if self._register_handset is not None:
+                        msg.set_state(ShortMsgState.RegisterHandset, now)
+                        requeue.append(msg)
+                        continue
                     msg.retries += 1
                     if msg.retries > self.MAX_RETRIES:
-                        msg.state = ShortMsgState.NoNotaryWhatsoever
-                        self.failed.append(msg)
+                        self._bounce(msg, now)
                         continue
-                    msg.next_action_time = now + self.RETRY_INTERVAL_S
+                    msg.set_state(
+                        ShortMsgState.AwaitingTryDestinationImsi, now)
                     requeue.append(msg)
                     continue
-                msg.state = ShortMsgState.ReadyToSend
-                msg.next_action_time = now
+                msg.dest_imsi = dest
+                msg.set_state(ShortMsgState.RequestDestinationSipUrl, now)
                 requeue.append(msg)
-            elif st == ShortMsgState.ReadyToSend:
+
+            elif st in (ShortMsgState.AwaitingTryDestinationSipUrl,
+                        ShortMsgState.RequestDestinationSipUrl):
+                # IMSI → SIP URL; with the registry-backed resolver the
+                # URL is the registered user at the relay
+                msg.dest_url = msg.dest_imsi or msg.to
+                msg.set_state(ShortMsgState.RequestMsgDelivery, now)
+                requeue.append(msg)
+
+            elif st in (ShortMsgState.AwaitingTryMsgDelivery,
+                        ShortMsgState.RequestMsgDelivery):
                 req = make_request("MESSAGE", msg.to, msg.frm,
                                    self.local_host, self.local_port,
                                    self.local_host, self.local_port,
@@ -163,25 +263,44 @@ class SMq:
                                    content_type="text/plain")
                 msg.call_id = req.call_id() or msg.call_id
                 self._send(msg.to, req.render().decode())
-                msg.state = ShortMsgState.WaitingForDeliveryAck
-                msg.next_action_time = now + self.RETRY_INTERVAL_S
+                msg.set_state(ShortMsgState.AskedForMsgDelivery, now)
                 requeue.append(msg)
-            elif st == ShortMsgState.WaitingForDeliveryAck:
-                # ack timeout → retry
+
+            elif st == ShortMsgState.AskedForMsgDelivery:
+                # delivery-ack timeout → retry (timeout table row)
                 msg.retries += 1
                 if msg.retries > self.MAX_RETRIES:
-                    msg.state = ShortMsgState.NoNotaryWhatsoever
-                    self.failed.append(msg)
+                    self._bounce(msg, now)
                     continue
-                msg.state = ShortMsgState.ReadyToSend
-                msg.next_action_time = now
+                msg.set_state(ShortMsgState.RequestMsgDelivery, now)
                 requeue.append(msg)
-            elif st == ShortMsgState.DeliveredAndAcked:
-                self.delivered.append(msg)
-            elif st in (ShortMsgState.DeleteMeState,
-                        ShortMsgState.NoNotaryWhatsoever):
+
+            elif st == ShortMsgState.RegisterHandset:
+                ok = bool(self._register_handset and
+                          self._register_handset(msg.to))
+                if not ok:
+                    self._bounce(msg, now)
+                    continue
+                msg.set_state(ShortMsgState.AskedToRegisterHandset, now)
+                requeue.append(msg)
+
+            elif st in (ShortMsgState.AskedForFromAddressLookup,
+                        ShortMsgState.AskedForDestinationImsi,
+                        ShortMsgState.AskedForDestinationSipUrl,
+                        ShortMsgState.AskedToRegisterHandset,
+                        ShortMsgState.AwaitingRegisterHandset):
+                # waiting-state timeout: fall back per the table
+                msg.retries += 1
+                if msg.retries > self.MAX_RETRIES:
+                    self._bounce(msg, now)
+                    continue
+                msg.set_state(STATE_TIMEOUTS[st][1], now)
+                requeue.append(msg)
+
+            elif st == ShortMsgState.DeleteMeState:
                 pass  # dropped
-            else:
+
+            else:  # pragma: no cover - defensive
                 requeue.append(msg)
         for m in requeue:
             heapq.heappush(self._heap, m)
@@ -191,10 +310,8 @@ class SMq:
 def main():  # pragma: no cover - manual entry point
     """Run smqueue as a standalone daemon over UDP (smqueue.cpp:1819)."""
     import argparse
-    import time as systime
 
     from openbts_ttsou_tpu.runtime import UdpTransport
-    from openbts_ttsou_tpu.sip.message import SIPMessage
 
     ap = argparse.ArgumentParser(description="SMS store-and-forward")
     ap.add_argument("--port", type=int, default=5063)
@@ -221,8 +338,6 @@ def main():  # pragma: no cover - manual entry point
             elif msg.is_request and msg.method == "REGISTER":
                 user = msg.uri_user("from") or ""
                 registry[user] = user
-                from openbts_ttsou_tpu.sip.message import make_response
-
                 sock.send(make_response(msg, 200, "OK").render())
             elif not msg.is_request:
                 smq.handle_delivery_response(msg.call_id() or "",

@@ -30,6 +30,7 @@ from openbts_ttsou_tpu.runtime import UdpTransport
 from openbts_ttsou_tpu.trx import engine as eng
 from openbts_ttsou_tpu.trx import protocol as proto
 from openbts_ttsou_tpu.trx.radio import Radio
+from openbts_ttsou_tpu.utils.xfer import device_get_safe, device_put_safe
 from openbts_ttsou_tpu.utils.gsm_time import (
     FRAME_SYMBOLS,
     HYPERFRAME,
@@ -198,7 +199,7 @@ class TrxDaemon:
                     bits[c, tn] = b.bits & 1
                     valid[c, tn] = True
                     atten[c, tn] = b.gain
-        slots = np.asarray(eng.tx_step(
+        slots = device_get_safe(eng.tx_step(
             self.engine_cfg, self.state, jnp.asarray(bits),
             jnp.asarray(valid), jnp.asarray(atten),
             jnp.asarray(self.tx_fn, jnp.int32)))
@@ -226,7 +227,7 @@ class TrxDaemon:
                 frame[c, tn] = raw[off: off + eng.SLOT_SAMPLES * sps]
         self.state = self.state._replace(fn=jnp.asarray(self.fn, jnp.int32))
         self.state, res = eng.rx_step(self.engine_cfg, self.state,
-                                      jnp.asarray(frame))
+                                      device_put_safe(frame))
         out: List[Tuple[int, proto.UplinkBurst]] = []
         det = np.asarray(res.detected)
         soft = np.asarray(res.soft_bits)

@@ -123,29 +123,30 @@ def init_state(cfg: TrxConfig) -> TrxState:
         mod = gmsk.modulate_burst_np(C.DUMMY_BURST[None], sps,
                                      guard_len=guard)[0]
         dummy[tn, : len(mod)] = mod * cfg.tx_full_scale
-    # All leaves are numpy-sourced: eager on-device constant creation
-    # (tiny convert_element_type/broadcast programs) is the one thing
-    # some remote backends cannot run, while host→device transfers of
-    # real buffers always work.
-    return TrxState(
-        fn=jnp.asarray(np.int32(0)),
-        chan_type=jnp.asarray(np.zeros((c, 8), np.int32)),
-        tsc=jnp.asarray(np.zeros((c,), np.int32)),
-        max_expected_delay=jnp.asarray(np.zeros((c,), np.int32)),
-        energy_threshold=jnp.asarray(
-            np.full((c,), C.INITIAL_ENERGY_THRESHOLD, np.float32)),
-        prev_false_detect_fn=jnp.asarray(np.zeros((c,), np.int32)),
-        chan_valid=jnp.asarray(np.zeros((c, 8), bool)),
-        chan_response=jnp.asarray(np.zeros((c, 8, nw), np.complex64)),
-        chan_resp_offset=jnp.asarray(np.zeros((c, 8), np.float32)),
-        chan_amplitude=jnp.asarray(np.ones((c, 8), np.complex64)),
-        snr=jnp.asarray(np.ones((c, 8), np.float32)),
-        dfe_forward=jnp.asarray(np.zeros((c, 8, DFE_NF), np.complex64)),
-        dfe_feedback=jnp.asarray(np.zeros((c, 8, nw - 1), np.complex64)),
-        chan_estimate_fn=jnp.asarray(np.zeros((c, 8), np.int32)),
-        filler=jnp.asarray(np.broadcast_to(dummy, (c, 8, SLOT_SAMPLES * sps))
-                           .copy()),
-    )
+    # All leaves are numpy-sourced and cross the boundary through the
+    # relay-safe transfer layer: remote TPU attachments cannot copy
+    # complex64 buffers (utils/xfer.py), so complex leaves ship as
+    # float32 planes and combine on device.
+    from openbts_ttsou_tpu.utils.xfer import device_put_safe
+
+    return device_put_safe(TrxState(
+        fn=np.int32(0),
+        chan_type=np.zeros((c, 8), np.int32),
+        tsc=np.zeros((c,), np.int32),
+        max_expected_delay=np.zeros((c,), np.int32),
+        energy_threshold=np.full((c,), C.INITIAL_ENERGY_THRESHOLD,
+                                 np.float32),
+        prev_false_detect_fn=np.zeros((c,), np.int32),
+        chan_valid=np.zeros((c, 8), bool),
+        chan_response=np.zeros((c, 8, nw), np.complex64),
+        chan_resp_offset=np.zeros((c, 8), np.float32),
+        chan_amplitude=np.ones((c, 8), np.complex64),
+        snr=np.ones((c, 8), np.float32),
+        dfe_forward=np.zeros((c, 8, DFE_NF), np.complex64),
+        dfe_feedback=np.zeros((c, 8, nw - 1), np.complex64),
+        chan_estimate_fn=np.zeros((c, 8), np.int32),
+        filler=np.broadcast_to(dummy, (c, 8, SLOT_SAMPLES * sps)).copy(),
+    ))
 
 
 def expected_corr_type(chan_type: Array, fn: Array) -> Array:

@@ -23,6 +23,7 @@ def main():
     from openbts_ttsou_tpu.ops import fir
     from openbts_ttsou_tpu.ops.pallas_correlate import windowed_correlate
     from openbts_ttsou_tpu.ops.pallas_fir import polyphase_resample_pallas
+    from openbts_ttsou_tpu.utils.xfer import device_get_safe, device_put_safe
 
     rng = np.random.default_rng(0)
     on_tpu = "cpu" not in str(jax.devices()[0]).lower()
@@ -31,9 +32,10 @@ def main():
     x = (rng.standard_normal((8, 2400))
          + 1j * rng.standard_normal((8, 2400))).astype(np.complex64)
     lpf = fir.resampler_lpf(65, 96, 961)
-    ref = np.asarray(fir.polyphase_resample(jnp.asarray(x), 65, 96, lpf))
-    got = np.asarray(polyphase_resample_pallas(
-        jnp.asarray(x), 65, 96, lpf,
+    xd = device_put_safe(x)
+    ref = device_get_safe(fir.polyphase_resample(xd, 65, 96, lpf))
+    got = device_get_safe(polyphase_resample_pallas(
+        xd, 65, 96, lpf,
         interpret=not on_tpu))
     err = float(np.max(np.abs(ref - got)))
     print(json.dumps({"kernel": "pallas_resampler", "max_abs_err": err,
@@ -44,10 +46,10 @@ def main():
           + 1j * rng.standard_normal((16, 157))).astype(np.complex64)
     t = (rng.standard_normal((2, 16))
          + 1j * rng.standard_normal((2, 16))).astype(np.complex64)
-    ref = np.asarray(windowed_correlate(jnp.asarray(xc), jnp.asarray(t),
-                                        50, 21))
-    got = np.asarray(windowed_correlate(
-        jnp.asarray(xc), jnp.asarray(t), 50, 21,
+    xcd, td = device_put_safe(xc), device_put_safe(t)
+    ref = device_get_safe(windowed_correlate(xcd, td, 50, 21))
+    got = device_get_safe(windowed_correlate(
+        xcd, td, 50, 21,
         method="pallas" if on_tpu else "interpret"))
     err = float(np.max(np.abs(ref - got)))
     print(json.dumps({"kernel": "pallas_windowed_correlate",

@@ -68,7 +68,8 @@ def main():
         ct[:, 1:] = ChanType.I
         state = init_state(cfg)._replace(chan_type=jnp.asarray(ct))
         state_sh = state_for_shards(state, n_time)
-        samples = jnp.asarray(
+        from openbts_ttsou_tpu.utils.xfer import device_put_safe
+        samples = device_put_safe(
             (rng.standard_normal((n_chan, n_time * spec.block_in))
              + 1j * rng.standard_normal((n_chan, n_time * spec.block_in))
              ).astype(np.complex64) * 400.0)
