@@ -51,6 +51,7 @@ def _kernel(xr_ref, xi_ref, tr_ref, ti_ref, or_ref, oi_ref, *,
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     tr = tr_ref[...]
     ti = ti_ref[...]
