@@ -4,6 +4,11 @@ import pytest
 
 from openbts_ttsou_tpu.sip.message import SIPMessage, make_request
 from openbts_ttsou_tpu.smqueue import SMq, ShortMsgState
+from openbts_ttsou_tpu.smqueue.queue import (
+    INITIAL_STATE,
+    STATE_TIMEOUTS,
+    sm_state_name,
+)
 
 
 @pytest.fixture
@@ -17,61 +22,116 @@ def smq():
     return q
 
 
+def drive(smq, now, n=4):
+    """Advance the queue n state transitions (one per call, like the
+    reference's one-action-per-pop main_loop)."""
+    for _ in range(n):
+        smq.process_queue(now)
+
+
+def test_state_set_matches_reference():
+    # the 16 states of smqueue.h:59-83
+    assert len(ShortMsgState) == 16
+    assert INITIAL_STATE == ShortMsgState.RequestFromAddressLookup
+    assert sm_state_name(ShortMsgState.DeleteMeState) == "DeleteMeState"
+    # every ASKED/AWAITING state has a timeout row falling back to a
+    # REQUEST/RegisterHandset state
+    for st, (timeout, nxt) in STATE_TIMEOUTS.items():
+        assert timeout > 0
+        assert nxt.name.startswith(("Request", "RegisterHandset"))
+
+
 def test_submit_and_deliver(smq):
     m = smq.submit("1001", "2001", "hello")
+    assert m.state == INITIAL_STATE
     now = time.monotonic() + 0.01
     assert smq.queue_size() == 1
-    smq.process_queue(now)  # resolve → ready
-    smq.process_queue(now)  # send
+    drive(smq, now)  # from-lookup → imsi → sipurl → send
     assert len(smq._sent) == 1
     to, rendered = smq._sent[0]
     assert to == "2001"
     req = SIPMessage.parse(rendered.encode())
     assert req.method == "MESSAGE" and req.body == "hello"
-    assert m.state == ShortMsgState.WaitingForDeliveryAck
+    assert m.state == ShortMsgState.AskedForMsgDelivery
+    assert m.dest_imsi == "2001"
     # destination acks
     smq.handle_delivery_response(m.call_id, 200)
-    smq.process_queue(time.monotonic() + 0.01)
     assert len(smq.delivered) == 1
+    assert m.state == ShortMsgState.DeleteMeState
+    smq.process_queue(time.monotonic() + 0.01)
     assert smq.queue_size() == 0
 
 
 def test_unknown_destination_retries_then_fails(smq):
     m = smq.submit("1001", "9999", "void")
     now = time.monotonic() + 0.01
-    for i in range(smq.MAX_RETRIES + 1):
-        smq.process_queue(now + i * (smq.RETRY_INTERVAL_S + 1))
-    assert m.state == ShortMsgState.NoNotaryWhatsoever
+    step = STATE_TIMEOUTS[ShortMsgState.AwaitingTryDestinationImsi][0]
+    for i in range(smq.MAX_RETRIES + 2):
+        smq.process_queue(now + i * (step + 1))
+    assert m.state == ShortMsgState.DeleteMeState
     assert len(smq.failed) == 1
 
 
 def test_delivery_timeout_retries(smq):
     m = smq.submit("1001", "2002", "slow")
     now = time.monotonic() + 0.01
-    smq.process_queue(now)
-    smq.process_queue(now)
+    drive(smq, now)
     assert len(smq._sent) == 1
-    # no ack → timeout → resend
-    smq.process_queue(now + smq.RETRY_INTERVAL_S + 1)
-    smq.process_queue(now + smq.RETRY_INTERVAL_S + 1)
+    # no ack → timeout → falls back to RequestMsgDelivery → resend
+    timeout = STATE_TIMEOUTS[ShortMsgState.AskedForMsgDelivery][0]
+    drive(smq, now + timeout + 1, n=2)
     assert len(smq._sent) == 2
     assert m.retries == 1
+    assert m.state == ShortMsgState.AskedForMsgDelivery
 
 
 def test_failure_response_triggers_retry(smq):
     m = smq.submit("1001", "2001", "x")
     now = time.monotonic() + 0.01
-    smq.process_queue(now)
-    smq.process_queue(now)
+    drive(smq, now)
     smq.handle_delivery_response(m.call_id, 480)
-    assert m.state == ShortMsgState.ReadyToSend
+    assert m.state == ShortMsgState.RequestMsgDelivery
+
+
+def test_handset_registration_flow():
+    sent = []
+    registry = {}
+    reg_calls = []
+    q = SMq(send=lambda to, req: sent.append((to, req)),
+            resolve=lambda user: registry.get(user),
+            register_handset=lambda user: reg_calls.append(user) or True)
+    m = q.submit("1001", "3001", "welcome")
+    now = time.monotonic() + 0.01
+    # from-lookup → imsi lookup fails → RegisterHandset → asked
+    q.process_queue(now)
+    q.process_queue(now)
+    q.process_queue(now)
+    assert m.state == ShortMsgState.AskedToRegisterHandset
+    assert reg_calls == ["3001"]
+    # registration completes; destination becomes resolvable
+    registry["3001"] = "3001"
+    q.handle_registration_complete("3001", True)
+    assert m.state == ShortMsgState.RequestDestinationImsi
+    drive(q, time.monotonic() + 0.01)
+    assert len(sent) == 1 and sent[0][0] == "3001"
+
+
+def test_registration_timeout_falls_back():
+    q = SMq(send=lambda to, req: None, resolve=lambda u: None,
+            register_handset=lambda u: True)
+    m = q.submit("1001", "3001", "hi")
+    now = time.monotonic() + 0.01
+    drive(q, now, n=3)
+    assert m.state == ShortMsgState.AskedToRegisterHandset
+    timeout = STATE_TIMEOUTS[ShortMsgState.AskedToRegisterHandset][0]
+    q.process_queue(now + timeout + 1)
+    assert m.state == ShortMsgState.RegisterHandset
 
 
 def test_shortcode_handler(smq):
     m = smq.submit("1001", "411", "who am i")
     assert m.state == ShortMsgState.DeleteMeState
-    # the canned reply was queued back toward the sender... resolve
-    # fails for 1001 (not registered) but it is in the queue
+    # the canned reply was queued back toward the sender
     assert smq.queue_size() == 1
     assert smq._heap[0].to == "1001"
     assert "you are 1001" in smq._heap[0].body
