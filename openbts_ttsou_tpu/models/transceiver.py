@@ -124,14 +124,26 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
     need_dfe = jnp.tile(jnp.repeat(state.max_expected_delay > 1, 8), f)
     use_dfe = is_tsc & need_dfe & jnp.tile(
         state.chan_valid.reshape(-1), f)
-    scaled = bursts / jnp.where(amplitude == 0, 1.0, amplitude)[:, None]
-    dfe_w = jnp.tile(state.dfe_forward.reshape(c * 8, -1), (f, 1))
-    dfe_b = jnp.tile(state.dfe_feedback.reshape(c * 8, -1), (f, 1))
-    off_b = jnp.tile(state.chan_resp_offset.reshape(-1), f)
-    soft_eq = dfe_mod.equalize_burst(scaled, toa - off_b, sps, dfe_w,
-                                     dfe_b)
     k = 148
-    soft = jnp.where(use_dfe[:, None], soft_eq[:, :k], soft_plain[:, :k])
+
+    # The equalizer is a 157-step sequential scan — by far the deepest
+    # dependency chain of the block. It only matters when some channel
+    # runs with SETMAXDELAY > 1 and a valid estimate, so gate the whole
+    # scan at runtime (the reference likewise branches per burst,
+    # Transceiver.cpp:381-395).
+    def _run_eq(_):
+        scaled = bursts / jnp.where(amplitude == 0, 1.0,
+                                    amplitude)[:, None]
+        dfe_w = jnp.tile(state.dfe_forward.reshape(c * 8, -1), (f, 1))
+        dfe_b = jnp.tile(state.dfe_feedback.reshape(c * 8, -1), (f, 1))
+        off_b = jnp.tile(state.chan_resp_offset.reshape(-1), f)
+        return dfe_mod.equalize_burst(scaled, toa - off_b, sps, dfe_w,
+                                      dfe_b)[:, :k]
+
+    soft_eq = jax.lax.cond(jnp.any(use_dfe), _run_eq,
+                           lambda _: jnp.full((n, k), 0.5, jnp.float32),
+                           operand=None)
+    soft = jnp.where(use_dfe[:, None], soft_eq, soft_plain[:, :k])
     soft = jnp.where(success[:, None], soft, 0.5)
 
     amp_abs = jnp.maximum(jnp.abs(amplitude), 1e-9)
