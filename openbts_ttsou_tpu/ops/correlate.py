@@ -165,22 +165,34 @@ def peak_detect(x: Array, grid_half: int = PEAK_GRID_HALF):
     i0 = jnp.argmax(p, axis=-1)  # [...]
     sum_power = jnp.sum(p, axis=-1)
 
-    # Gather the 21-sample window around the integer peak (zero-padded at
-    # the edges, matching interpolatePoint's clamping to [0, T-1)).
-    offs = jnp.arange(2 * SINC_HALF_WIDTH + 1)
-    idx = i0[..., None] - SINC_HALF_WIDTH + offs
-    valid = (idx >= 0) & (idx < t - 1)  # reference excludes index T-1
-    win = jnp.take_along_axis(x, jnp.clip(idx, 0, t - 1), axis=-1)
-    win = jnp.where(valid, win, 0.0)
+    # Extract the 21-sample window around the integer peak as a one-hot
+    # contraction over stride-1 shifted copies (per-row dynamic gathers
+    # run element-at-a-time on TPU). Sample T-1 is excluded, matching
+    # interpolatePoint's clamp to [0, T-1).
+    w = 2 * SINC_HALF_WIDTH + 1
+    onehot = (jnp.arange(t) == i0[..., None]).astype(jnp.float32)
+    xz = x * (jnp.arange(t) < t - 1)  # zero the excluded last sample
+    pad = [(0, 0)] * (x.ndim - 1) + [(SINC_HALF_WIDTH, SINC_HALF_WIDTH)]
+    xp = jnp.pad(xz, pad)
+    # shifts[..., j, i] = x[..., i - HALF + j] → win[..., j] = Σ_i onehot·shifts
+    shifts = jnp.stack(
+        [jax.lax.slice_in_dim(xp, j, j + t, axis=-1) for j in range(w)],
+        axis=-2)  # [..., w, t]
+    win = jnp.einsum("...t,...jt->...j", onehot.astype(jnp.complex64),
+                     shifts, precision=jax.lax.Precision.HIGHEST)
 
     s = jnp.asarray(_sinc_grid_matrix(half=grid_half))  # [21, G]
     vals_r = jnp.matmul(jnp.real(win), s, precision=jax.lax.Precision.HIGHEST)
     vals_i = jnp.matmul(jnp.imag(win), s, precision=jax.lax.Precision.HIGHEST)
     mag = vals_r**2 + vals_i**2  # [..., G]
     k = jnp.argmax(mag, axis=-1)
+    g = mag.shape[-1]
     frac = (k.astype(jnp.float32) - grid_half) * PEAK_GRID_STEP
-    peak_val = (jnp.take_along_axis(vals_r, k[..., None], -1) +
-                1j * jnp.take_along_axis(vals_i, k[..., None], -1))[..., 0]
+    khot = (jnp.arange(g) == k[..., None]).astype(jnp.float32)
+    peak_val = (jnp.einsum("...g,...g->...", khot, vals_r,
+                           precision=jax.lax.Precision.HIGHEST) +
+                1j * jnp.einsum("...g,...g->...", khot, vals_i,
+                                precision=jax.lax.Precision.HIGHEST))
     peak_idx = i0.astype(jnp.float32) + frac
     avg_pwr = (sum_power - jnp.abs(peak_val) ** 2) / (t - 1)
     return peak_val.astype(jnp.complex64), peak_idx, avg_pwr
@@ -208,13 +220,33 @@ class Detection:
 
 
 def _valley_power(corr: Array, peak_int: Array, offsets: np.ndarray):
-    """Σ|corr[peak+o]|² over in-range offsets; returns (power, count)."""
+    """Σ|corr[peak+o]|² over in-range offsets; returns (power, count).
+
+    Gather-free: the offset sum is a sliding mask convolution of |corr|²
+    (shift-and-accumulate over static offsets) evaluated at the peak via
+    a one-hot contraction; the in-range count per position is a static
+    table contracted the same way.
+    """
     t = corr.shape[-1]
-    idx = peak_int[..., None] + jnp.asarray(offsets)  # [..., K]
-    valid = (idx >= 0) & (idx < t)
-    vals = jnp.take_along_axis(jnp.abs(corr) ** 2, jnp.clip(idx, 0, t - 1), -1)
-    power = jnp.sum(jnp.where(valid, vals, 0.0), axis=-1)
-    count = jnp.sum(valid, axis=-1)
+    p2 = jnp.abs(corr) ** 2
+    lo, hi = int(offsets.min()), int(offsets.max())
+    pad = [(0, 0)] * (corr.ndim - 1) + [(-lo if lo < 0 else 0,
+                                         hi if hi > 0 else 0)]
+    pp = jnp.pad(p2, pad)
+    base = -lo if lo < 0 else 0
+    acc = None
+    for o in offsets.tolist():
+        s = jax.lax.slice_in_dim(pp, base + o, base + o + t, axis=-1)
+        acc = s if acc is None else acc + s
+    # count[i] = #offsets with 0 <= i + o < t — static per position
+    pos = np.arange(t)[:, None] + offsets[None, :]
+    count_tab = jnp.asarray(((pos >= 0) & (pos < t)).sum(-1)
+                            .astype(np.float32))
+    onehot = (jnp.arange(t) == peak_int[..., None]).astype(jnp.float32)
+    power = jnp.einsum("...t,...t->...", onehot, acc,
+                       precision=jax.lax.Precision.HIGHEST)
+    count = jnp.einsum("...t,t->...", onehot, count_tab,
+                       precision=jax.lax.Precision.HIGHEST)
     return power, count
 
 
