@@ -79,6 +79,16 @@ class Parser:
             "IMSI [secs] -- initiate a test call to IMSI.")
         add("sendrrlp", self._sendrrlp,
             "IMSI hexstring -- send an RRLP APDU to IMSI.")
+        add("setlogfile", self._setlogfile,
+            "<path> -- set the logging file to <path>.")
+        add("findimsi", self._findimsi,
+            "[IMSIPrefix] -- print IMSIs prefixed by IMSIPrefix.")
+        add("assignment", self._assignment,
+            "[type] -- get/set assignment type (early, veryearly).")
+        add("shortname", self._shortname,
+            "[name] -- get/set the network short name.")
+        add("rolllac", self._rolllac,
+            "[LAC] -- increment the LAC or set a new value.")
         add("exit", lambda a: "exiting", "-- exit the application.")
 
     # -- command implementations ---------------------------------------
@@ -97,6 +107,41 @@ class Parser:
             return "bad hexstring"
         ok = self.ctx.control.send_rrlp(args[0], apdu)
         return "RRLP sent" if ok else "no active channel for " + args[0]
+
+    def _setlogfile(self, args) -> str:
+        if not args:
+            return "usage: setlogfile <path>"
+        from openbts_ttsou_tpu.utils.logger import set_logfile
+
+        set_logfile(args[0])
+        return f"logging to {args[0]}"
+
+    def _findimsi(self, args) -> str:
+        prefix = args[0] if args else ""
+        rows = [f"{i} {t:08x}" for t, i in
+                self.ctx.control.tmsis._by_tmsi.items()
+                if i.startswith(prefix)]
+        return "\n".join(rows) or "(no matches)"
+
+    def _assignment(self, args) -> str:
+        cfg = self.ctx.bts.config
+        if args:
+            if args[0] not in ("early", "veryearly"):
+                return "usage: assignment [early|veryearly]"
+            cfg.set("GSM.AssignmentType", args[0])
+        return cfg.get_str("GSM.AssignmentType", "early")
+
+    def _shortname(self, args) -> str:
+        cfg = self.ctx.bts.config
+        if args:
+            cfg.set("GSM.ShortName", args[0])
+        return cfg.get_str("GSM.ShortName", "")
+
+    def _rolllac(self, args) -> str:
+        b = self.ctx.bts
+        b.lac = int(args[0]) if args else b.lac + 1
+        b.config.set("GSM.LAC", str(b.lac))
+        return f"LAC={b.lac}"
 
     def _help(self, args: List[str]) -> str:
         if args and args[0] in self._commands:

@@ -84,9 +84,12 @@ class ControlLayer:
             return None
         self.bts.shrink_t3122()
         sub = getattr(channel.l1, "subchannel", 0)
-        # GSM 04.08 10.5.2.5 channel type: SDCCH/4 on the C-V beacon
-        # slot (TN0) = 4+sub; SDCCH/8 on a C-VII slot = 8+sub
-        cbits = (4 + sub) if channel.l1.tn == 0 else (8 + sub)
+        # GSM 04.08 10.5.2.5 channel type: TCH/F = 1; SDCCH/4 on the
+        # C-V beacon slot (TN0) = 4+sub; SDCCH/8 on a C-VII slot = 8+sub
+        if getattr(channel, "is_tch", False):
+            cbits = 1
+        else:
+            cbits = (4 + sub) if channel.l1.tn == 0 else (8 + sub)
         desc = rr.ChannelDescription(
             type_and_offset=cbits,
             tn=channel.l1.tn, tsc=self.bts.bcc, arfcn=self.bts.arfcn)

@@ -90,6 +90,22 @@ def set_level(name: str) -> None:
     _root.setLevel(_LEVEL_BY_NAME[name.upper()])
 
 
+_file_handler: logging.Handler | None = None
+
+
+def set_logfile(path: str) -> None:
+    """Route the log stream to a file (CLI `setlogfile`,
+    CLI.cpp `setLogFile`)."""
+    global _file_handler
+    if _file_handler is not None:
+        _root.removeHandler(_file_handler)
+        _file_handler.close()
+    _file_handler = logging.FileHandler(path)
+    _file_handler.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+    _root.addHandler(_file_handler)
+
+
 def log(level_name: str, msg: str, *args) -> None:
     """LOG(LEVEL) equivalent."""
     _root.log(_LEVEL_BY_NAME[level_name.upper()], msg, *args)

@@ -65,6 +65,16 @@ def test_cli_commands(rig):
     assert "unknown command" in p.process("bogus")
     assert "usage" in p.process("page")
     assert "TN0" in p.process("chans")
+    # CLI.cpp:685-712 verbs added for full parity
+    assert p.process("assignment") == "early"
+    assert p.process("assignment veryearly") == "veryearly"
+    assert "usage" in p.process("assignment sometimes")
+    assert p.process("shortname OpenBTS-TPU") == "OpenBTS-TPU"
+    lac0 = app.bts.lac
+    assert f"LAC={lac0 + 1}" in p.process("rolllac")
+    assert "LAC=555" in p.process("rolllac 555")
+    assert "(no matches)" in p.process("findimsi 99999")
+    assert "logging to" in p.process("setlogfile /tmp/cli_verbs.log")
 
 
 def test_cli_sendsms_and_calls(rig):
