@@ -115,14 +115,14 @@ class BTSApp:
                 self.dcch.append(ch)
         n_tch = c.get_int("GSM.NumTCH", 2)
         for tn in range(tn_next, tn_next + min(n_tch, 8 - tn_next)):
-            tch = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
-                                      tdma.FACCH_TCHF, tsc=self.bts.bcc)
-            tch.clock = self.bts.clock.fn
-            self.bts.add_tch(tch)
+            tch_l1 = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
+                                         tdma.FACCH_TCHF, tsc=self.bts.bcc)
+            tch_l1.clock = self.bts.clock.fn
+            self.bts.add_tch(channels.TCHFACCHLogicalChannel(tch_l1))
         arfcn = self.trx.arfcn(0)
         arfcn.install_decoder(self.rach)
         for tch in self.bts.tch_pool:
-            arfcn.install_decoder(tch)
+            arfcn.install_decoder(tch.l1)
         for ch in self.dcch:
             arfcn.install_decoder(ch.l1)
             if ch.sacch is not None:
@@ -186,8 +186,11 @@ class BTSApp:
         arfcn = self.trx.arfcn(0)
         arfcn.drive_rx(timeout_ms=0)
         fn_now = self.bts.clock.fn()
-        # drain decoded L3 from dedicated channels into Control
-        for ch in self.dcch:
+        # drain decoded L3 from dedicated channels into Control — the
+        # TCH pool included: its LAPDm rides the FACCH
+        # (TCHFACCHLogicalChannel), so AssignmentComplete and in-call
+        # signalling arrive here too
+        for ch in self.dcch + list(self.bts.tch_pool):
             ch.l1.resync(fn_now)
             if ch.sacch is not None:
                 ch.sacch.resync(fn_now)
@@ -218,8 +221,8 @@ class BTSApp:
                         ch.l1.timing_sum / n
                     ch.sacch.ordered_ms_timing = max(0, min(63,
                                                             int(ta)))
-            while True:
-                l3 = ch.recv(3)  # SMS SAP
+            while 3 in ch.l2:  # SMS SAP (TCH FACCH carries SAPI 0 only)
+                l3 = ch.recv(3)
                 if l3 is None:
                     break
                 if l3.primitive == Primitive.DATA and len(l3.bits) >= 16:
@@ -250,12 +253,13 @@ class BTSApp:
         # of the clock (speech > FACCH > silence filler), and run the
         # in-call voice pumps (CallControl.cpp:393-407 loop body)
         for tch in self.bts.tch_pool:
-            if tch.active:
-                tch.resync(fn_now)
-                while tch.next_write_fn <= horizon:
-                    tch.dispatch_block()
-            while tch.tx_queue and tch.tx_queue[0].fn <= horizon:
-                arfcn.write_high_side(tch.tx_queue.popleft())
+            l1 = tch.l1
+            if l1.active:
+                l1.resync(fn_now)
+                while l1.next_write_fn <= horizon:
+                    l1.dispatch_block()
+            while l1.tx_queue and l1.tx_queue[0].fn <= horizon:
+                arfcn.write_high_side(l1.tx_queue.popleft())
         for t in self.control.transactions.entries():
             pump = getattr(t, "voice", None)
             if pump is not None:
@@ -268,7 +272,7 @@ class BTSApp:
         # in DCCHDispatch after RELEASE)
         from openbts_ttsou_tpu.gsm.lapdm import LAPDState
 
-        for ch in self.dcch:
+        for ch in self.dcch + list(self.bts.tch_pool):
             st = ch.l2[0].state
             if st == LAPDState.LinkEstablished:
                 # key the flag to this occupancy (open time) so a
@@ -291,7 +295,7 @@ class BTSApp:
         now = systime.monotonic()
         t3101 = self.bts.config.get_int("GSM.Timer.T3101", 8000) / 1000.0
         t3109 = self.bts.config.get_int("GSM.Timer.T3109", 30000) / 1000.0
-        for ch in self.dcch:
+        for ch in self.dcch + list(self.bts.tch_pool):
             if ch.l1.recyclable(now, t3101, t3109):
                 log.warning("recycling stale SDCCH TN%d sub%d",
                             ch.l1.tn, getattr(ch.l1, "subchannel", 0))

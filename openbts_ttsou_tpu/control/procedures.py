@@ -71,8 +71,16 @@ class ControlLayer:
                     timing_error: float):
         """RACH → channel allocation → immediate assignment on AGCH.
         Returns the allocated channel or None."""
-        # load shedding: no SDCCH → ImmediateAssignmentReject with T3122
-        channel = self.bts.get_sdcch()
+        # very-early assignment (CLI `assignment veryearly`,
+        # RadioResource.cpp AccessGrantResponder's channel-type choice):
+        # the MS goes straight to a TCH/F and signals on its FACCH;
+        # early assignment (default) gets an SDCCH and moves to a TCH
+        # at call setup (assignTCHF). Load shedding: no channel →
+        # ImmediateAssignmentReject with T3122.
+        very_early = self.bts.config.get_str(
+            "GSM.AssignmentType", "early") == "veryearly"
+        channel = (self.bts.get_tch() if very_early else None) \
+            or self.bts.get_sdcch()
         if channel is None:
             self.bts.grow_t3122()
             msg = rr.ImmediateAssignmentReject(
@@ -255,6 +263,10 @@ class ControlLayer:
         if tch is None:
             return  # stay on the SDCCH (very-early assignment fallback)
         t.tch = tch
+        # the MS answers with AssignmentComplete on the NEW channel's
+        # FACCH — bind the transaction to it so the FACCH dispatch
+        # resolves (AssignmentCompleteHandler, RadioResource.cpp:285)
+        self.channel_transactions[id(tch)] = t.id
         cmd = rr.AssignmentCommand(
             rr.ChannelDescription(type_and_offset=1, tn=tch.tn,
                                   tsc=self.bts.bcc, arfcn=self.bts.arfcn))
@@ -262,7 +274,9 @@ class ControlLayer:
 
     def assignment_complete(self, channel, msg: rr.AssignmentComplete):
         """AssignmentCompleteHandler (RadioResource.cpp:285): the MS is
-        on the TCH; open it and attach the voice pump when active."""
+        on the TCH; open it and attach the voice pump when active.
+        `channel` is the TCH's FACCH once the MS establishes there, or
+        the old SDCCH for MSs that answer before switching."""
         t = self._transaction_for(channel)
         if t is None or getattr(t, "tch", None) is None:
             return

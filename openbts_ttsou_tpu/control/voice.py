@@ -44,7 +44,9 @@ class VoicePump:
     """Bridges one TCH channel with one SIP engine's RTP session."""
 
     def __init__(self, tch, engine):
-        self.tch = tch  # TCHFACCHL1: speech_out (uplink), send_tch
+        # accepts the TCHFACCHLogicalChannel wrapper or a bare
+        # TCHFACCHL1: speech_out (uplink), send_tch (downlink)
+        self.tch = getattr(tch, "l1", tch)
         self.engine = engine  # SIPEngine with an RTP session
         self.frames_up = 0
         self.frames_down = 0

@@ -482,6 +482,8 @@ class LogicalChannel:
     (GSMLogicalChannel.h:65-137; SDCCHLogicalChannel carries its SACCH,
     GSMLogicalChannel.h:249+)."""
 
+    is_tch = False
+
     def __init__(self, l1: XCCHL1, sapis=(0,),
                  chan_type: ChannelType = ChannelType.SDCCH,
                  sacch: "SACCHL1 | None" = None):
@@ -577,3 +579,27 @@ class LogicalChannel:
     def write_low_side(self, burst: RxBurst) -> None:
         self.l1.write_low_side(burst)
         self.pump()  # any responses (RR/UA…) head straight down
+
+
+class TCHFACCHLogicalChannel(LogicalChannel):
+    """TCH/F traffic channel with its FACCH signalling link
+    (TCHFACCHLogicalChannel, GSMLogicalChannel.h:411-455): LAPDm rides
+    the FACCH stealing path of the shared `TCHFACCHL1`; `send_tch` /
+    `recv_tch` move GSM 06.10 vocoder frames (sendTCH/recvTCH)."""
+
+    is_tch = True
+
+    def __init__(self, l1: TCHFACCHL1, sacch: "SACCHL1 | None" = None):
+        super().__init__(l1, sapis=(0,), chan_type=ChannelType.FACCH,
+                         sacch=sacch)
+
+    @property
+    def tn(self) -> int:
+        return self.l1.tn
+
+    def send_tch(self, vocoder_payload: np.ndarray) -> None:
+        self.l1.send_tch(vocoder_payload)
+
+    def recv_tch(self):
+        return (self.l1.speech_out.popleft()
+                if self.l1.speech_out else None)

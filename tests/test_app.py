@@ -196,3 +196,55 @@ def test_inbound_sip_message_and_invite_hooks(rig):
     assert t is not None and t.calling == "2125550000"
     assert t.sip is not None
     app.control.transactions.remove(t.id)
+
+
+def test_very_early_assignment(rig):
+    """CLI `assignment veryearly` sends the RACH response straight to a
+    TCH/F (channel type 1) whose FACCH binds the eventual transaction
+    (AccessGrantResponder channel-type choice + TCHFACCHLogicalChannel,
+    GSMLogicalChannel.h:411-455)."""
+    from openbts_ttsou_tpu.gsm.l3 import rr
+    from openbts_ttsou_tpu.utils.gsm_time import Time
+
+    app, _ = rig
+    app.parser.process("assignment veryearly")
+    try:
+        ch = app.control.handle_rach(0x05, Time(1000, 0), -50.0, 1.0)
+        assert ch is not None and ch.is_tch
+        assert ch.l1.active
+        # the immediate assignment queued on the AGCH carries TCH/F
+        frame = app.bts.agch_q[-1]
+        from openbts_ttsou_tpu.gsm.l3 import parse_l3
+
+        msg = parse_l3(np.asarray(frame.bits))
+        assert isinstance(msg, rr.ImmediateAssignment)
+        assert msg.channel.type_and_offset == 1
+        assert msg.channel.tn == ch.l1.tn
+    finally:
+        ch.l1.close()
+        app.bts.release(ch)
+        app.parser.process("assignment early")
+
+
+def test_facch_transaction_binding(rig):
+    """assign_tch binds the transaction to the TCH so AssignmentComplete
+    arriving on the FACCH resolves it (RadioResource.cpp:285)."""
+    from openbts_ttsou_tpu.gsm.l3 import rr
+
+    app, _ = rig
+    from openbts_ttsou_tpu.control.common import ServiceType
+
+    ctl = app.control
+    sd = app.bts.get_sdcch()
+    t = ctl.transactions.new(ServiceType.MobileOriginatedCall,
+                             imsi="001010000000099")
+    ctl.channel_transactions[id(sd)] = t.id
+    ctl.assign_tch(sd, t)
+    assert getattr(t, "tch", None) is not None
+    assert ctl.channel_transactions[id(t.tch)] == t.id
+    # AssignmentComplete on the TCH (FACCH) opens it + resolves t
+    ctl.assignment_complete(t.tch, rr.AssignmentComplete())
+    assert t.tch.l1.active
+    t.tch.l1.close()
+    app.bts.release(t.tch)
+    app.bts.release(sd)

@@ -600,7 +600,7 @@ def test_over_the_air_voice_call(rig):
         if getattr(t, "voice", None) is not None:
             break
     assert getattr(t, "voice", None) is not None, "voice pump not attached"
-    assert t.tch.active and t.tch.tn == tch_tn
+    assert t.tch.l1.active and t.tch.tn == tch_tn
 
     # --- uplink speech: MS TCH modem → air → BTS → RTP -----------------
     ms_tx = channels.TCHFACCHL1(tch_tn, tdma.FACCH_TCHF,
