@@ -38,4 +38,20 @@ int64_t ring_read(sample_ring *r, int16_t *iq_out, int64_t n, int64_t ts);
 // Highest timestamp written + 1 (i.e., next expected), -1 if empty.
 int64_t ring_end_ts(const sample_ring *r);
 int64_t ring_start_ts(const sample_ring *r);
+
+// ---- transmit burst priority queue (VectorQueue,
+//      Transceiver52M/radioInterface.cpp:30-73) --------------------------
+typedef struct burst_pq burst_pq;
+burst_pq *bpq_create(size_t max_bursts);
+void bpq_destroy(burst_pq *p);
+// Queue a burst for (fn, chan, tn); latest write wins. -1 when full.
+int bpq_push(burst_pq *p, int64_t fn, int chan, int tn,
+             const uint8_t *data, int len);
+// Pop the exact (fn, chan, tn) burst -> its length, 0 if absent.
+int bpq_pop_exact(burst_pq *p, int64_t fn, int chan, int tn,
+                  uint8_t *out, int maxlen);
+// Drop bursts scheduled before fn (modular hyperframe time) -> count.
+int bpq_dump_stale(burst_pq *p, int64_t fn);
+int bpq_size(const burst_pq *p);
+int64_t bpq_min_fn(const burst_pq *p, int64_t ref);
 }

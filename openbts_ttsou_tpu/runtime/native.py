@@ -55,6 +55,23 @@ def load_runtime() -> ctypes.CDLL:
         lib.ring_end_ts.restype = ctypes.c_int64
         lib.ring_start_ts.argtypes = [ctypes.c_void_p]
         lib.ring_start_ts.restype = ctypes.c_int64
+        lib.bpq_create.argtypes = [ctypes.c_size_t]
+        lib.bpq_create.restype = ctypes.c_void_p
+        lib.bpq_destroy.argtypes = [ctypes.c_void_p]
+        lib.bpq_push.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                 ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_void_p, ctypes.c_int]
+        lib.bpq_push.restype = ctypes.c_int
+        lib.bpq_pop_exact.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_int]
+        lib.bpq_pop_exact.restype = ctypes.c_int
+        lib.bpq_dump_stale.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.bpq_dump_stale.restype = ctypes.c_int
+        lib.bpq_size.argtypes = [ctypes.c_void_p]
+        lib.bpq_size.restype = ctypes.c_int
+        lib.bpq_min_fn.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.bpq_min_fn.restype = ctypes.c_int64
         _lib = lib
         return lib
 
@@ -151,6 +168,46 @@ class SampleRing:
             if self._r:
                 self._lib.ring_destroy(self._r)
                 self._r = None
+        except Exception:
+            pass
+
+
+class BurstQueue:
+    """Native transmit burst priority queue (VectorQueue,
+    Transceiver52M/radioInterface.cpp:30-73): bursts keyed by
+    (fn, chan, tn) in modular hyperframe time, with exact-pop
+    (getCurrentBurst) and stale-drain (getStaleBurst)."""
+
+    MAX_BURST = 512
+
+    def __init__(self, max_bursts: int = 0):
+        self._lib = load_runtime()
+        self._q = self._lib.bpq_create(max_bursts)
+
+    def push(self, fn: int, chan: int, tn: int, data: bytes) -> bool:
+        return self._lib.bpq_push(self._q, fn, chan, tn, data,
+                                  len(data)) == 0
+
+    def pop_exact(self, fn: int, chan: int, tn: int) -> bytes | None:
+        buf = ctypes.create_string_buffer(self.MAX_BURST)
+        n = self._lib.bpq_pop_exact(self._q, fn, chan, tn, buf,
+                                    self.MAX_BURST)
+        return buf.raw[:n] if n > 0 else None
+
+    def dump_stale(self, fn: int) -> int:
+        return int(self._lib.bpq_dump_stale(self._q, fn))
+
+    def __len__(self) -> int:
+        return int(self._lib.bpq_size(self._q))
+
+    def min_fn(self, ref: int) -> int:
+        return int(self._lib.bpq_min_fn(self._q, ref))
+
+    def __del__(self):
+        try:
+            if self._q:
+                self._lib.bpq_destroy(self._q)
+                self._q = None
         except Exception:
             pass
 

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from openbts_ttsou_tpu.runtime import UdpTransport
+from openbts_ttsou_tpu.runtime import BurstQueue, UdpTransport
 from openbts_ttsou_tpu.trx import engine as eng
 from openbts_ttsou_tpu.trx import protocol as proto
 from openbts_ttsou_tpu.trx.radio import Radio
@@ -79,7 +79,10 @@ class TrxDaemon:
         self.underruns = 0
         self.clock_lead = proto.CLOCK_LEAD_FRAMES
         self.last_clock_fn: Optional[int] = None
-        self.pending_tx: Dict[Tuple[int, int, int], proto.DownlinkBurst] = {}
+        # native priority queue of pending downlink bursts keyed by
+        # (fn, carrier, tn) — the reference's VectorQueue
+        # (radioInterface.cpp:30-73) lives in C++ here too
+        self.pending_tx = BurstQueue()
 
     @property
     def on(self) -> bool:
@@ -179,7 +182,10 @@ class TrxDaemon:
                 self.clock_lead + 10:
             self.clock_lead = max(self.clock_lead - 1,
                                   proto.CLOCK_LEAD_FRAMES)
-        self.pending_tx[(carrier, burst.fn % HYPERFRAME, burst.tn)] = burst
+        self.pending_tx.push(
+            burst.fn % HYPERFRAME, carrier, burst.tn,
+            np.float32(burst.gain).tobytes()
+            + np.asarray(burst.bits, np.uint8).tobytes())
 
     def _frame_ts(self, fn: int) -> int:
         return (fn - self.cfg.start_fn) * FRAME_SYMBOLS * self.cfg.sps
@@ -194,11 +200,12 @@ class TrxDaemon:
         atten = np.zeros((n, 8), np.float32)
         for c in range(n):
             for tn in range(8):
-                b = self.pending_tx.pop((c, self.tx_fn, tn), None)
+                b = self.pending_tx.pop_exact(self.tx_fn, c, tn)
                 if b is not None:
-                    bits[c, tn] = b.bits & 1
+                    bits[c, tn] = np.frombuffer(b[4:], np.uint8)[:148] & 1
                     valid[c, tn] = True
-                    atten[c, tn] = b.gain
+                    atten[c, tn] = float(np.frombuffer(b[:4],
+                                                       np.float32)[0])
         slots = device_get_safe(eng.tx_step(
             self.engine_cfg, self.state, jnp.asarray(bits),
             jnp.asarray(valid), jnp.asarray(atten),

@@ -98,3 +98,32 @@ def test_unix_datagram_transport(tmp_path):
     assert b.recv(64, timeout_ms=500) == b"over the wall"
     assert b.send(b"ack") == 3
     assert a.recv(64, timeout_ms=500) == b"ack"
+
+
+def test_burst_queue_modular_time():
+    """Native VectorQueue semantics (radioInterface.cpp:30-73): exact
+    pop, stale drain in modular hyperframe time, latest-write-wins."""
+    from openbts_ttsou_tpu.runtime import BurstQueue
+    from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME
+
+    q = BurstQueue()
+    assert q.push(100, 0, 3, b"a")
+    assert q.push(100, 0, 3, b"b")  # refresh: latest wins
+    assert q.push(99, 1, 0, b"old")
+    assert q.push(HYPERFRAME - 1, 0, 0, b"wrapped-behind")
+    assert len(q) == 3
+    assert q.min_fn(100) == HYPERFRAME - 1
+    assert q.dump_stale(100) == 2
+    assert q.pop_exact(100, 0, 3) == b"b"
+    assert q.pop_exact(100, 0, 3) is None
+    assert len(q) == 0
+
+
+def test_burst_queue_bounded():
+    from openbts_ttsou_tpu.runtime import BurstQueue
+
+    q = BurstQueue(max_bursts=2)
+    assert q.push(1, 0, 0, b"x") and q.push(2, 0, 0, b"y")
+    assert not q.push(3, 0, 0, b"z")  # full
+    q.dump_stale(3)
+    assert q.push(3, 0, 0, b"z")
