@@ -64,6 +64,20 @@ int main() {
   printf("RACHDET %d %.6g %.6g %.6g\n", (int)rok, ra.real(), ra.imag(),
          rtoa);
 
+  // 5b. polyphase resampling of the modulated burst through both LPFs
+  // (the radioInterface 64M path: up 96/65 with the 651-tap LPF, back
+  // down 65/96 with the 961-tap LPF — sigProcLibTest.cpp:83-111)
+  {
+    signalVector *upLPF = createLPF(1.0f / 96.0f, 651, 96);
+    dumpVec("LPF651", *upLPF);
+    signalVector *up = polyphaseResampleVector(*mod, 96, 65, upLPF);
+    dumpVec("RESAMPUP", *up);
+    signalVector *dnLPF = createLPF(1.0f / 96.0f, 961, 65);
+    dumpVec("LPF961", *dnLPF);
+    signalVector *dn = polyphaseResampleVector(*up, 65, 96, dnLPF);
+    dumpVec("RESAMPDN", *dn);
+  }
+
   // 6. DFE design on a fixed channel
   signalVector chan(6);
   chan[0] = complex(1.0, 0.0);
