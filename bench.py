@@ -62,20 +62,8 @@ def main():
 
     import jax.numpy as jnp
 
-    from openbts_ttsou_tpu.ops import fir as _fir
-
-    # The axon relay backend executes matmuls/einsums but hangs on
-    # strided convolutions and cannot run tiny on-device constant
-    # programs — use the conv-free window-gather backend there unless
-    # the user overrides.
-    if "OPENBTS_TPU_CONV" not in os.environ:
-        try:
-            if "axon" in str(jax.devices()[0].platform).lower() or \
-                    "TPU" in str(jax.devices()[0].device_kind):
-                _fir.CONV_IMPL = "einsum"
-        except Exception:
-            pass
-
+    # conv backend: fir._conv_impl() auto-selects einsum on non-CPU
+    # backends (the axon relay errors on strided convolutions)
     from openbts_ttsou_tpu.models.transceiver import (
         UplinkSpec,
         uplink_block,

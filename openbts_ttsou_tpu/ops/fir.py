@@ -50,12 +50,25 @@ def _as_2d(x: Array):
 
 
 # Convolution backend: "conv" uses lax.conv_general_dilated; "einsum"
-# lowers everything to window-gather contractions (pure MXU matmuls) —
-# useful where the conv op is slow or unsupported. "auto" follows the
-# OPENBTS_TPU_CONV env var, defaulting to conv.
+# lowers everything to slice-window contractions (pure MXU matmuls) —
+# needed on TPU backends where the strided conv op is slow or
+# unsupported (the axon relay errors on it). Resolution order: the
+# OPENBTS_TPU_CONV env var, then an explicit CONV_IMPL assignment, then
+# the backend default (einsum on anything that is not CPU).
 import os
 
-CONV_IMPL = os.environ.get("OPENBTS_TPU_CONV", "conv")
+CONV_IMPL = os.environ.get("OPENBTS_TPU_CONV")  # None → auto
+
+
+def _conv_impl() -> str:
+    if CONV_IMPL in ("conv", "einsum"):
+        return CONV_IMPL
+    try:
+        import jax as _jax
+
+        return "conv" if _jax.default_backend() == "cpu" else "einsum"
+    except Exception:
+        return "conv"
 
 
 def _windows(a: Array, lb: int, stride: int = 1,
@@ -89,7 +102,7 @@ def _real_conv_full(a: Array, b: Array) -> Array:
     bk = jnp.flip(b, axis=-1)  # XLA convs are cross-correlations
     pad = [(Lb - 1, Lb - 1)]
     if b.ndim == 1:
-        if CONV_IMPL == "einsum":
+        if _conv_impl() == "einsum":
             wins = _windows(a, Lb, pad=(Lb - 1, Lb - 1))
             return jnp.einsum("btj,j->bt", wins, bk,
                               precision=lax.Precision.HIGHEST)
@@ -309,7 +322,7 @@ def polyphase_resample_mm(x: Array, p: int, q: int, lpf: Array, *,
     rhs = jnp.asarray(_polyphase_filter_bank(p, q, lpf_np))
 
     def _plane(xr):
-        if CONV_IMPL == "einsum":
+        if _conv_impl() == "einsum":
             # strided windows [B, M, K'] × bank [p, K'] → [B, M, p]
             wins = _windows(xr, k_prime, stride=q,
                             pad=(pad_left, pad_right))[:, :m_cycles]

@@ -298,12 +298,24 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     soft_plain = gmsk.demodulate_burst(bursts, sps, amplitude, toa)
     use_dfe = is_tsc & jnp.repeat(need_dfe, 8) & \
         new_state.chan_valid.reshape(-1)
-    scaled = bursts / jnp.where(amplitude == 0, 1.0, amplitude)[:, None]
-    soft_eq = dfe_mod.equalize_burst(
-        scaled, toa - new_state.chan_resp_offset.reshape(-1), sps,
-        _flat(new_state.dfe_forward), _flat(new_state.dfe_feedback))
     k = 148
-    soft = jnp.where(use_dfe[:, None], soft_eq[:, :k],
+
+    # the equalizer scan is the frame's deepest sequential chain; skip
+    # it at runtime unless some channel needs it (the reference
+    # branches per burst the same way)
+    def _run_eq(_):
+        scaled = bursts / jnp.where(amplitude == 0, 1.0,
+                                    amplitude)[:, None]
+        return dfe_mod.equalize_burst(
+            scaled, toa - new_state.chan_resp_offset.reshape(-1), sps,
+            _flat(new_state.dfe_forward),
+            _flat(new_state.dfe_feedback))[:, :k]
+
+    soft_eq = jax.lax.cond(
+        jnp.any(use_dfe), _run_eq,
+        lambda _: jnp.full((bursts.shape[0], k), 0.5, jnp.float32),
+        operand=None)
+    soft = jnp.where(use_dfe[:, None], soft_eq,
                      soft_plain[:, :k])
     soft = jnp.where(success[:, None], soft, 0.5)
 

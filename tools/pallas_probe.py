@@ -47,11 +47,8 @@ def main():
 
     rng = np.random.default_rng(0)
     on_tpu = "cpu" not in str(jax.devices()[0]).lower()
-    if on_tpu:
-        # the axon relay cannot execute strided convolutions or tiny
-        # eager programs: use the window-gather MXU backend and jit
-        # every path (same policy as bench.py)
-        fir.CONV_IMPL = "einsum"
+    # (fir auto-selects the einsum conv backend off-CPU; jit every
+    # path — the relay cannot run tiny eager programs)
 
     # resampler
     x = (rng.standard_normal((8, 2400))

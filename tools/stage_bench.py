@@ -27,10 +27,6 @@ def main():
                       __file__.rsplit("/", 2)[0] + "/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from openbts_ttsou_tpu.ops import fir as _fir
-
-    if "cpu" not in str(jax.devices()[0]).lower():
-        _fir.CONV_IMPL = "einsum"
 
     from openbts_ttsou_tpu.models.transceiver import UplinkSpec
     from openbts_ttsou_tpu.ops import correlate as xcorr
