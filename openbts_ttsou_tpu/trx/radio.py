@@ -17,12 +17,27 @@ from __future__ import annotations
 
 import numpy as np
 
+# Device clocking constants (USRPDevice.cpp:54,151-152): the 52M USRP
+# divides a 52 MHz master clock by 192 to hit the GSM symbol rate
+# exactly; the 64M classic divides 64 MHz by 160 to 400 kS/s and the
+# host resamples 65/96.
+MASTER_CLOCK_52M = 52e6
+DECIM_52M = 192
+MASTER_CLOCK_64M = 64e6
+DECIM_64M = 160
+DEVICE_RATE_64M = MASTER_CLOCK_64M / DECIM_64M  # 400 kS/s
+
 
 class Radio:
     """Device contract (subset of USRPDevice's surface,
     Transceiver52M/USRPDevice.h:50-88)."""
 
     sample_rate: float = 1625e3 / 6.0
+    #: Tx→Rx timebase offset in samples, the analogue of the reference's
+    #: ping-measured `timestampOffset` (+ the empirical PINGOFFSET=272,
+    #: USRPDevice.h:86, USRPDevice.cpp:318-460). Hardware-backed
+    #: devices measure it with `update_alignment`.
+    timestamp_offset: int = 0
 
     def start(self) -> bool:
         return True
@@ -42,6 +57,22 @@ class Radio:
 
     def set_rx_freq(self, freq: float) -> bool:
         return True
+
+    def update_alignment(self, ts: int = 0, probe_len: int = 256) -> int:
+        """Measure the Tx→Rx timestamp offset with an impulse ping and
+        record it (USRPDevice::updateAlignment, USRPDevice.cpp:518, and
+        the USRPping diagnostic): write a unit impulse at `ts`, read the
+        window back, and locate the peak. Returns the measured offset in
+        samples (also stored in `timestamp_offset`)."""
+        probe = np.zeros(probe_len, np.complex64)
+        probe[0] = 1.0 + 0.0j
+        self.write_samples(probe, ts)
+        echo = self.read_samples(probe_len, ts)
+        peak = int(np.argmax(np.abs(echo)))
+        if abs(echo[peak]) == 0:
+            return self.timestamp_offset  # no loopback path
+        self.timestamp_offset = peak
+        return peak
 
 
 class LoopbackRadio(Radio):

@@ -200,3 +200,24 @@ def test_adaptive_clock_lead_on_underrun():
     daemon.handle_downlink(proto.pack_downlink(
         proto.DownlinkBurst(tn=0, fn=early_fn, gain=0, bits=bits)))
     assert daemon.clock_lead == lead0
+
+
+def test_radio_alignment_measurement():
+    """update_alignment measures the Tx->Rx timebase offset with an
+    impulse ping (USRPDevice::updateAlignment / USRPping,
+    USRPDevice.cpp:518): the loopback radio's configured delay is
+    recovered exactly."""
+    from openbts_ttsou_tpu.trx.radio import (
+        DECIM_52M,
+        DEVICE_RATE_64M,
+        MASTER_CLOCK_52M,
+        LoopbackRadio,
+    )
+
+    r = LoopbackRadio(delay_samples=17, full_scale=1.0)
+    assert r.update_alignment() == 17
+    assert r.timestamp_offset == 17
+    assert LoopbackRadio().update_alignment() == 0
+    # clocking constants (USRPDevice.cpp:54,151-152)
+    assert abs(MASTER_CLOCK_52M / DECIM_52M - 1625e3 / 6.0) < 1e-6
+    assert DEVICE_RATE_64M == 400e3
