@@ -216,6 +216,55 @@ def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
                               sym[..., : spec.block_symbols])
 
 
+class DecodedBlocks(NamedTuple):
+    """On-device FEC output for the XCCH blocks fully contained in one
+    uplink block: `bits` [G, C, 8, 184] uint8 (air bit order), `ok`
+    [G, C, 8] bool (FireCode syndrome), `first_fn` [] int32 — the FN of
+    group 0's first burst."""
+
+    bits: Array
+    ok: Array
+    first_fn: Array
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
+                         state: eng.TrxState, samples: Array
+                         ) -> tuple[eng.TrxState, eng.RxResult,
+                                    DecodedBlocks]:
+    """Full TPU-resident receiver: device-rate IQ → detection/demod →
+    XCCH FEC decode, one fused program.
+
+    The reference splits this at the UDP boundary (soft bits cross to
+    the BTS process, GSML1FEC decodes burst-at-a-time per channel);
+    batching the 4-burst deinterleave + 16-state Viterbi + FireCode
+    syndrome over every (chan, slot) on the MXU-adjacent VPU removes
+    the host round trip for bulk receivers (IQ scanners, load tests,
+    multi-ARFCN pods). Groups are the FN%4-aligned 4-burst XCCH blocks
+    (interleaver block boundary, GSML1FEC.cpp:572-630) fully inside the
+    13-frame window — always 3 of them."""
+    from openbts_ttsou_tpu.gsm import l1fec
+
+    assert spec.frames == 13, "block decode assumes the 13-frame window"
+    fn0 = state.fn
+    new_state, res = uplink_block_fast(cfg, spec, state, samples)
+    off = (-fn0) % 4  # frames until the next FN%4 block boundary
+    # pad the frame axis so the slice never clamps (off ≤ 3 needs 16
+    # frames); groups extending past frame 13 are masked invalid below
+    soft_p = jnp.pad(res.soft_bits, ((0, 3), (0, 0), (0, 0), (0, 0)))
+    soft = lax.dynamic_slice_in_dim(soft_p, off, 12, axis=0)
+    c = cfg.n_chan
+    # [12, C, 8, 148] → [3, 4, C, 8, 148] → [3·C·8, 4, 148]
+    g = jnp.moveaxis(soft.reshape(3, 4, c, 8, 148), 1, 3)
+    bits, ok = l1fec.xcch_decode(g.reshape(3 * c * 8, 4, 148))
+    complete = (off + (jnp.arange(3) + 1) * 4) <= spec.frames  # [3]
+    return new_state, res, DecodedBlocks(
+        bits=bits.reshape(3, c, 8, 184),
+        ok=ok.reshape(3, c, 8) & complete[:, None, None],
+        first_fn=(fn0 + off) % HYPERFRAME,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def downlink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
                    bits: Array, valid: Array, atten_db: Array,

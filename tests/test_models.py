@@ -136,3 +136,45 @@ def test_uplink_block_fast_matches_exact():
     for (c, f), bits in planted.items():
         assert det[f, c, 2]
         assert np.mean((soft[f, c, 2] > 0.5).astype(int) != bits) < 0.02
+
+
+def test_uplink_block_decoded_xcch_on_device():
+    """TPU-resident receiver: plant a 4-burst XCCH block (FEC-encoded
+    184-bit frame) on an FN%4 boundary; uplink_block_decoded detects,
+    demodulates AND FEC-decodes it in one program, honoring a
+    misaligned block-start FN."""
+    from openbts_ttsou_tpu.gsm import l1fec
+    from openbts_ttsou_tpu.models.transceiver import uplink_block_decoded
+
+    cfg = TrxConfig(n_chan=2)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.zeros((2, 8), np.int32)
+    chan_type[:, 2] = ChanType.I
+    fn0 = 6  # off = (-6) % 4 = 2 → first group at relative frame 2
+    state = init_state(cfg)._replace(
+        chan_type=jnp.asarray(chan_type),
+        fn=jnp.asarray(np.int32(fn0)))
+
+    rng = np.random.default_rng(7)
+    frame184 = rng.integers(0, 2, 184).astype(np.uint8)
+    bursts = np.asarray(l1fec.xcch_encode(frame184[None], tsc=0))[0]
+
+    sym = np.zeros((2, spec.block_symbols), np.complex64)
+    for b in range(4):  # relative frames 2..5 on chan 1, slot 2
+        wave = 9000.0 * np.asarray(gmsk.modulate_burst(bursts[b][None],
+                                                       1))[0]
+        sym[1, (2 + b) * 1250 + 313: (2 + b) * 1250 + 313 + 148] += wave
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : spec.block_in])
+
+    st, res, dec = uplink_block_decoded(cfg, spec, state, dev)
+    ok = np.asarray(dec.ok)
+    bits = np.asarray(dec.bits)
+    assert int(np.asarray(dec.first_fn)) == 8  # fn0 + off
+    assert ok[0, 1, 2], "XCCH block not decoded"
+    assert np.array_equal(bits[0, 1, 2], frame184)
+    # nothing else decodes as valid
+    ok = ok.copy()
+    ok[0, 1, 2] = False
+    assert not ok.any()
