@@ -47,7 +47,7 @@ def main():
 
     n_chan = int(os.environ.get("BENCH_CHANNELS", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact
+    mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact | decoded
 
     baseline_sps = measure_cpu_baseline()
 
@@ -67,6 +67,7 @@ def main():
     from openbts_ttsou_tpu.models.transceiver import (
         UplinkSpec,
         uplink_block,
+        uplink_block_decoded,
         uplink_block_fast,
     )
     from openbts_ttsou_tpu.ops import gmsk
@@ -120,14 +121,19 @@ def main():
     # true synchronization).
     import jax.lax as lax
 
-    block_fn = uplink_block_fast if mode == "fast" else uplink_block
+    block_fn = {"fast": uplink_block_fast,
+                "exact": uplink_block,
+                "decoded": uplink_block_decoded}[mode]
 
     @jax.jit
     def fused(state, samples):
         def body(st, _):
-            st, res = block_fn(cfg, spec, st, samples)
-            return st, (jnp.sum(res.soft_bits[..., 0]),
-                        jnp.sum(res.detected))
+            out = block_fn(cfg, spec, st, samples)
+            st, res = out[0], out[1]
+            probe = jnp.sum(res.soft_bits[..., 0])
+            if mode == "decoded":  # include the FEC output in the probe
+                probe = probe + jnp.sum(out[2].bits[..., 0])
+            return st, (probe, jnp.sum(res.detected))
         st, (probes, dets) = lax.scan(body, state, None, length=iters)
         return jnp.sum(probes), jnp.sum(dets)
 

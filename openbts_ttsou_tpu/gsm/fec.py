@@ -46,33 +46,46 @@ def _poly_bits(poly: int, n: int) -> np.ndarray:
     return np.array([(poly >> i) & 1 for i in range(n)], np.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _crc_contribution_matrix(poly: int, size: int, n_bits: int,
+                             encoder: bool) -> np.ndarray:
+    """[n_bits, size] GF(2) matrix C with final_state = (bits @ C) mod 2.
+
+    The LFSR update (Generator::encoderShift / syndromeShift,
+    BitVector.h:66-83) is linear over GF(2) in the input bits with a
+    zero initial state, so the final state is the XOR of each input
+    bit's unit-impulse response — computed here once per
+    (poly, size, length) in numpy and contracted on the MXU at runtime
+    instead of a length-n sequential scan."""
+    coeff = _poly_bits(poly, size).astype(np.uint8)
+    c = np.zeros((n_bits, size), np.uint8)
+    for i in range(n_bits):
+        state = np.zeros(size, np.uint8)
+        for t in range(n_bits):
+            in_bit = np.uint8(1 if t == i else 0)
+            msb = state[size - 1]
+            fb = (msb ^ in_bit) if encoder else msb
+            new_lsb = np.uint8(0) if encoder else in_bit
+            state = np.concatenate([[new_lsb], state[: size - 1]]) ^ \
+                (fb * coeff)
+        c[i] = state
+    return c
+
+
 def crc_state_run(bits: Array, poly: int, size: int, *, encoder: bool) -> Array:
     """Run the LFSR over `bits` along the last axis; return final state
     as an [..., size] bit-plane (index 0 = exponent 0 / LSB).
 
     encoder=True → Generator::encoderShift (BitVector.h:77-83);
-    encoder=False → syndromeShift (BitVector.h:66-71).
-    """
+    encoder=False → syndromeShift (BitVector.h:66-71). Evaluated as one
+    GF(2) matmul against the precomputed unit-response matrix (exact:
+    f32 accumulates ≤ n_bits < 2^24 before the mod)."""
     bits = jnp.asarray(bits, jnp.uint8)
-    lead = bits.shape[:-1]
-    coeff = jnp.asarray(_poly_bits(poly, size))
-
-    def step(state, in_bit):
-        msb = state[..., size - 1]
-        if encoder:
-            fb = msb ^ in_bit
-            new_lsb = jnp.zeros_like(in_bit)
-        else:
-            fb = msb
-            new_lsb = in_bit
-        shifted = jnp.concatenate(
-            [new_lsb[..., None], state[..., : size - 1]], axis=-1)
-        state = shifted ^ (fb[..., None] * coeff)
-        return state, None
-
-    state0 = jnp.zeros(lead + (size,), jnp.uint8)
-    state, _ = jax.lax.scan(step, state0, jnp.moveaxis(bits, -1, 0))
-    return state
+    c = jnp.asarray(_crc_contribution_matrix(poly, size, bits.shape[-1],
+                                             encoder), jnp.float32)
+    acc = jnp.matmul(bits.astype(jnp.float32), c,
+                     precision=jax.lax.Precision.HIGHEST)
+    return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
 def parity_word(data: Array, spec=FIRECODE_XCCH, invert: bool = True) -> Array:
@@ -209,18 +222,21 @@ def viterbi_decode(soft: Array) -> Array:
         cand = cost[:, prev] + bm  # [B,2,16]
         take1 = cand[:, 1] < cand[:, 0]  # strict: prefer 0-prefix on ties
         new_cost = jnp.where(take1, cand[:, 1], cand[:, 0])
-        chosen_prev = jnp.where(take1, prev[1][None], prev[0][None])
         nb = jnp.asarray(np.arange(V_STATES) & 1, jnp.uint32)
-        new_hist = (jnp.take_along_axis(hist, chosen_prev, axis=1) << 1) | nb
+        # survivor history: both predecessor rows are static gathers
+        # (XLA shuffles), selected per state — no dynamic gather
+        new_hist = (jnp.where(take1, hist[:, prev[1]], hist[:, prev[0]])
+                    << 1) | nb
         best = jnp.argmin(new_cost, axis=1)  # first minimum
-        out_bit = (jnp.take_along_axis(new_hist, best[:, None], axis=1)[:, 0]
+        onehot = jnp.arange(V_STATES)[None] == best[:, None]
+        out_bit = (jnp.sum(jnp.where(onehot, new_hist, 0), axis=1)
                    >> V_DEFERRAL) & 1
         return (new_cost, new_hist), out_bit
 
     cost0 = jnp.zeros((bsz, V_STATES), jnp.float32)
     hist0 = jnp.zeros((bsz, V_STATES), jnp.uint32)
     _, outs = jax.lax.scan(step, (cost0, hist0),
-                           (h0, h1, m0, mm0, m1, mm1))
+                           (h0, h1, m0, mm0, m1, mm1), unroll=8)
     bits = outs[V_DEFERRAL:].T.astype(jnp.uint8)  # [B, n_out]
     return bits.reshape(lead + (n_out,))
 
