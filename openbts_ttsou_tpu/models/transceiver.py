@@ -217,19 +217,24 @@ def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
 
 
 class DecodedBlocks(NamedTuple):
-    """On-device FEC output for the XCCH blocks fully contained in one
-    uplink block: `bits` [G, C, 8, 184] uint8 (air bit order), `ok`
-    [G, C, 8] bool (FireCode syndrome), `first_fn` [] int32 — the FN of
-    group 0's first burst."""
+    """On-device FEC output for one uplink block: XCCH blocks fully
+    contained in the window (`bits` [G, C, 8, 184] uint8 in air bit
+    order, `ok` [G, C, 8] bool FireCode syndrome, `first_fn` [] int32 —
+    the FN of group 0's first burst) plus per-frame RACH decodes
+    (`rach_ra` [F, C, 8] int32, `rach_ok` [F, C, 8] bool — RA value and
+    color-code check where a RACH was detected)."""
 
     bits: Array
     ok: Array
     first_fn: Array
+    rach_ra: Array
+    rach_ok: Array
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
-                         state: eng.TrxState, samples: Array
+                         state: eng.TrxState, samples: Array,
+                         bsic: int = 0
                          ) -> tuple[eng.TrxState, eng.RxResult,
                                     DecodedBlocks]:
     """Full TPU-resident receiver: device-rate IQ → detection/demod →
@@ -258,10 +263,18 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     g = jnp.moveaxis(soft.reshape(3, 4, c, 8, 148), 1, 3)
     bits, ok = l1fec.xcch_decode(g.reshape(3 * c * 8, 4, 148))
     complete = (off + (jnp.arange(3) + 1) * 4) <= spec.frames  # [3]
+
+    # RACH: every detected access burst decodes in the same program
+    # (RACHL1Decoder::writeLowSide, GSML1FEC.cpp:474-513)
+    rach_soft = res.soft_bits[
+        ..., l1fec.RACH_DATA_START: l1fec.RACH_DATA_START + 36]
+    ra, ra_ok = l1fec.rach_decode(rach_soft, bsic)
     return new_state, res, DecodedBlocks(
         bits=bits.reshape(3, c, 8, 184),
         ok=ok.reshape(3, c, 8) & complete[:, None, None],
         first_fn=(fn0 + off) % HYPERFRAME,
+        rach_ra=ra.astype(jnp.int32),
+        rach_ok=ra_ok & res.is_rach,
     )
 
 

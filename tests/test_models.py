@@ -150,6 +150,7 @@ def test_uplink_block_decoded_xcch_on_device():
     spec = UplinkSpec(frames=13)
     chan_type = np.zeros((2, 8), np.int32)
     chan_type[:, 2] = ChanType.I
+    chan_type[:, 0] = ChanType.IV  # RACH slot
     fn0 = 6  # off = (-6) % 4 = 2 → first group at relative frame 2
     state = init_state(cfg)._replace(
         chan_type=jnp.asarray(chan_type),
@@ -164,11 +165,19 @@ def test_uplink_block_decoded_xcch_on_device():
         wave = 9000.0 * np.asarray(gmsk.modulate_burst(bursts[b][None],
                                                        1))[0]
         sym[1, (2 + b) * 1250 + 313: (2 + b) * 1250 + 313 + 148] += wave
+    # plant a RACH on chan 0 slot 0, frame 7 (RA=0xB3, BSIC=2)
+    rach = np.zeros(148, np.uint8)
+    rach[:8] = [0, 1] * 4
+    rach[8:49] = C.RACH_SYNCH_SEQUENCE
+    rach[49:85] = np.asarray(l1fec.rach_encode(np.uint8(0xB3),
+                                               np.uint8(2)))
+    rwave = 9000.0 * np.asarray(gmsk.modulate_burst(rach[None], 1))[0]
+    sym[0, 7 * 1250: 7 * 1250 + 148] += rwave
     dev = np.asarray(fir.polyphase_resample(
         jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
     dev = jnp.asarray(dev[:, : spec.block_in])
 
-    st, res, dec = uplink_block_decoded(cfg, spec, state, dev)
+    st, res, dec = uplink_block_decoded(cfg, spec, state, dev, 2)
     ok = np.asarray(dec.ok)
     bits = np.asarray(dec.bits)
     assert int(np.asarray(dec.first_fn)) == 8  # fn0 + off
@@ -178,3 +187,10 @@ def test_uplink_block_decoded_xcch_on_device():
     ok = ok.copy()
     ok[0, 1, 2] = False
     assert not ok.any()
+    # the planted access burst decodes on-device too
+    rach_ok = np.asarray(dec.rach_ok)
+    assert rach_ok[7, 0, 0], "RACH not decoded"
+    assert int(np.asarray(dec.rach_ra)[7, 0, 0]) == 0xB3
+    rach_ok = rach_ok.copy()
+    rach_ok[7, 0, 0] = False
+    assert not rach_ok.any()
