@@ -304,6 +304,47 @@ def downlink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
     return out[..., : spec.block_in]
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def downlink_block_encoded(cfg: eng.TrxConfig, spec: UplinkSpec,
+                           state: eng.TrxState, frames184: Array,
+                           valid: Array, atten_db: Array,
+                           fn0: Array) -> Array:
+    """FEC-in-program downlink: 184-bit L2 frames → FireCode parity +
+    rate-1/2 conv + diagonal interleave + burst mapping
+    (XCCHL1Encoder::sendFrame, GSML1FEC.cpp:768-849) → GMSK modulate →
+    96/65 resample, one fused program for every (chan, slot).
+
+    frames184: [G, C, 8, 184] air-order frames for the G = frames//4
+    FN%4-aligned groups starting at fn0 (fn0 must be block-aligned);
+    valid/atten_db: [G, C, 8]. Returns [C, spec.block_in] device-rate
+    samples; invalid (group, chan, slot) entries transmit the filler
+    table like downlink_block."""
+    from openbts_ttsou_tpu.gsm import l1fec
+
+    g, c = frames184.shape[0], cfg.n_chan
+    assert g * 4 <= spec.frames
+    bursts = l1fec.xcch_encode(frames184, tsc=None)  # [G, C, 8, 4, 148]
+    # TSC per carrier comes from the engine state at modulation time:
+    # map_to_burst left the midamble zeroed when tsc=None, so write it
+    # from state.tsc (the SETTSC plane) for every burst
+    from openbts_ttsou_tpu.utils import constants as C
+
+    tsc_bank = jnp.asarray(np.asarray(C.TRAINING_SEQUENCE, np.uint8))
+    mid = tsc_bank[state.tsc]  # [C, 26]
+    bursts = bursts.at[..., 61:87].set(
+        mid[None, :, None, None, :].astype(bursts.dtype))
+    # [G, C, 8, 4, 148] → [G·4 frames, C, 8, 148]
+    bits = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, 8, 148)
+    pad = spec.frames - g * 4
+    bits = jnp.pad(bits, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    v = jnp.repeat(valid, 4, axis=0)
+    v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+    a = jnp.repeat(atten_db, 4, axis=0)
+    a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
+    return downlink_block(cfg, spec, state, bits.astype(jnp.uint8), v, a,
+                          fn0)
+
+
 def _assemble_stream(slots: Array) -> Array:
     """[frames, C, 8, 157] slot windows → [C, frames·1250] stream,
     laying slots at the 157/156/156/156 offsets (overlapping final

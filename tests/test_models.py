@@ -194,3 +194,34 @@ def test_uplink_block_decoded_xcch_on_device():
     rach_ok = rach_ok.copy()
     rach_ok[7, 0, 0] = False
     assert not rach_ok.any()
+
+
+def test_full_duplex_fec_on_device():
+    """TPU-resident full duplex: downlink_block_encoded (FireCode +
+    conv + interleave + GMSK + 96/65) feeds uplink_block_decoded
+    (65/96 + detect + demod + Viterbi + syndrome) — L2 frames in, the
+    same L2 frames out, two fused programs end to end."""
+    from openbts_ttsou_tpu.models.transceiver import (
+        downlink_block_encoded,
+        uplink_block_decoded,
+    )
+
+    cfg = TrxConfig(n_chan=2)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.full((2, 8), ChanType.I, np.int32)
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type),
+                                     fn=jnp.asarray(np.int32(0)))
+
+    rng = np.random.default_rng(11)
+    frames184 = rng.integers(0, 2, (3, 2, 8, 184)).astype(np.uint8)
+    valid = np.ones((3, 2, 8), bool)
+    atten = np.zeros((3, 2, 8), np.float32)
+
+    dev = downlink_block_encoded(cfg, spec, state, jnp.asarray(frames184),
+                                 jnp.asarray(valid), jnp.asarray(atten),
+                                 jnp.asarray(np.int32(0)))
+    st, res, dec = uplink_block_decoded(cfg, spec, state, dev)
+    ok = np.asarray(dec.ok)
+    bits = np.asarray(dec.bits)
+    assert ok.all(), f"undecoded blocks at {np.argwhere(~ok)[:4]}"
+    assert np.array_equal(bits, frames184)
