@@ -250,28 +250,38 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     13-frame window — always 3 of them."""
     from openbts_ttsou_tpu.gsm import l1fec
 
-    assert spec.frames == 13, "block decode assumes the 13-frame window"
     fn0 = state.fn
     new_state, res = uplink_block_fast(cfg, spec, state, samples)
+    return new_state, res, decode_block(res, fn0, spec.frames, bsic)
+
+
+def decode_block(res: eng.RxResult, fn0: Array, frames: int,
+                 bsic: int = 0) -> DecodedBlocks:
+    """FEC-decode one block's RxResult on device: the FN%4-aligned
+    4-burst XCCH groups inside the window plus per-frame RACH decode.
+    Shared by the single-chip and sharded pipelines."""
+    from openbts_ttsou_tpu.gsm import l1fec
+
+    n_g = frames // 4
+    c = res.soft_bits.shape[1]
     off = (-fn0) % 4  # frames until the next FN%4 block boundary
-    # pad the frame axis so the slice never clamps (off ≤ 3 needs 16
-    # frames); groups extending past frame 13 are masked invalid below
+    # pad the frame axis so the slice never clamps (off ≤ 3); groups
+    # extending past the window are masked invalid below
     soft_p = jnp.pad(res.soft_bits, ((0, 3), (0, 0), (0, 0), (0, 0)))
-    soft = lax.dynamic_slice_in_dim(soft_p, off, 12, axis=0)
-    c = cfg.n_chan
-    # [12, C, 8, 148] → [3, 4, C, 8, 148] → [3·C·8, 4, 148]
-    g = jnp.moveaxis(soft.reshape(3, 4, c, 8, 148), 1, 3)
-    bits, ok = l1fec.xcch_decode(g.reshape(3 * c * 8, 4, 148))
-    complete = (off + (jnp.arange(3) + 1) * 4) <= spec.frames  # [3]
+    soft = lax.dynamic_slice_in_dim(soft_p, off, n_g * 4, axis=0)
+    # [G·4, C, 8, 148] → [G, 4, C, 8, 148] → [G·C·8, 4, 148]
+    g = jnp.moveaxis(soft.reshape(n_g, 4, c, 8, 148), 1, 3)
+    bits, ok = l1fec.xcch_decode(g.reshape(n_g * c * 8, 4, 148))
+    complete = (off + (jnp.arange(n_g) + 1) * 4) <= frames  # [G]
 
     # RACH: every detected access burst decodes in the same program
     # (RACHL1Decoder::writeLowSide, GSML1FEC.cpp:474-513)
     rach_soft = res.soft_bits[
         ..., l1fec.RACH_DATA_START: l1fec.RACH_DATA_START + 36]
     ra, ra_ok = l1fec.rach_decode(rach_soft, bsic)
-    return new_state, res, DecodedBlocks(
-        bits=bits.reshape(3, c, 8, 184),
-        ok=ok.reshape(3, c, 8) & complete[:, None, None],
+    return DecodedBlocks(
+        bits=bits.reshape(n_g, c, 8, 184),
+        ok=ok.reshape(n_g, c, 8) & complete[:, None, None],
         first_fn=(fn0 + off) % HYPERFRAME,
         rach_ra=ra.astype(jnp.int32),
         rach_ok=ra_ok & res.is_rach,

@@ -139,7 +139,7 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         fn_start = fn0 + t_idx * spec.frames_per_shard
         state = state._replace(fn=(fn_start).astype(jnp.int32))
 
-        if mode == "fast":
+        if mode in ("fast", "decoded"):
             from openbts_ttsou_tpu.models.transceiver import (
                 process_block_fast,
             )
@@ -155,12 +155,30 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         clock = lax.psum(
             jnp.asarray(samples.shape[-1], jnp.int32) *
             jnp.ones((), jnp.int32), ("time", "chan")) // n_chan_dev
+        if mode == "decoded":
+            # 5. on-device FEC per shard (decode_block): XCCH groups +
+            # RACH, stacked along the time axis like the results
+            from openbts_ttsou_tpu.models.transceiver import decode_block
+
+            dec = decode_block(results, fn_start,
+                               spec.frames_per_shard)
+            dec = dec._replace(first_fn=dec.first_fn[None])
+            return (jax.tree.map(lambda x: x[None], state), results,
+                    clock, dec)
         return (jax.tree.map(lambda x: x[None], state), results, clock)
 
+    out_specs = (state_specs, result_specs, P())
+    if mode == "decoded":
+        from openbts_ttsou_tpu.models.transceiver import DecodedBlocks
+
+        out_specs = out_specs + (DecodedBlocks(
+            bits=P("time", "chan"), ok=P("time", "chan"),
+            first_fn=P("time"), rach_ra=P("time", "chan"),
+            rach_ok=P("time", "chan")),)
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_specs, P("chan", "time"), P()),
-        out_specs=(state_specs, result_specs, P()),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(mapped)
