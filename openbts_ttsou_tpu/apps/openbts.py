@@ -239,8 +239,7 @@ class BTSApp:
         # SACCHL1Encoder between dedicated frames)
         for ch in self.dcch:
             if ch.sacch is not None and ch.sacch.active and \
-                    not ch.sacch.tx_queue and \
-                    ch.sacch.next_write_fn <= horizon:
+                    not ch.sacch.tx_queue:
                 ch.send_sacch(self.bts.sacch_fill_frame(self._si56_flip))
                 self._si56_flip += 1
             while ch.l1.tx_queue and ch.l1.tx_queue[0].fn <= horizon:
