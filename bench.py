@@ -45,7 +45,7 @@ def log(msg):
 def main():
     import numpy as np
 
-    n_chan = int(os.environ.get("BENCH_CHANNELS", "32"))
+    n_chan = int(os.environ.get("BENCH_CHANNELS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact | decoded
 

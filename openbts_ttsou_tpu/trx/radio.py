@@ -52,10 +52,32 @@ class Radio:
     def write_samples(self, iq: np.ndarray, ts: int) -> int:
         raise NotImplementedError
 
+    #: Digital mixer shifts left over after the analog frequency plan
+    #: (the reference hands `wFreq-actFreq` to the DUC/DDC,
+    #: Transceiver/USRPDevice.cpp:527,540). Loopback/replay radios have
+    #: no synthesizer grid, so these stay 0 unless a plan is computed.
+    tx_residual_hz: float = 0.0
+    rx_residual_hz: float = 0.0
+
     def set_tx_freq(self, freq: float) -> bool:
+        """Tune the transmitter. The base implementation runs the
+        RFX900 integer-N plan (compute_regs analogue) and records the
+        residual for the DUC; hardware-free backends just accept it."""
+        from openbts_ttsou_tpu.trx import rfx900
+
+        try:
+            self.tx_residual_hz = rfx900.tune_tx(freq).residual
+        except ValueError:
+            return False
         return True
 
     def set_rx_freq(self, freq: float) -> bool:
+        from openbts_ttsou_tpu.trx import rfx900
+
+        try:
+            self.rx_residual_hz = rfx900.tune_rx(freq).residual
+        except ValueError:
+            return False
         return True
 
     def update_alignment(self, ts: int = 0, probe_len: int = 256) -> int:

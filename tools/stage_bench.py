@@ -38,7 +38,9 @@ def main():
     from openbts_ttsou_tpu.trx import engine as eng
     from openbts_ttsou_tpu.utils.xfer import device_put_safe
 
-    n_chan, f, iters = 32, 13, 16
+    import os
+    n_chan = int(os.environ.get("BENCH_CHANNELS", "32"))
+    f, iters = 13, 16
     spec = UplinkSpec(frames=f)
     rng = np.random.default_rng(0)
     dev = device_put_safe(
