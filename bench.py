@@ -125,41 +125,60 @@ def main():
                 "exact": uplink_block,
                 "decoded": uplink_block_decoded}[mode]
 
-    @jax.jit
-    def fused(state, samples):
-        def body(st, _):
-            out = block_fn(cfg, spec, st, samples)
-            st, res = out[0], out[1]
-            probe = jnp.sum(res.soft_bits[..., 0])
-            if mode == "decoded":  # include the FEC output in the probe
-                probe = probe + jnp.sum(out[2].bits[..., 0])
-            return st, (probe, jnp.sum(res.detected))
-        st, (probes, dets) = lax.scan(body, state, None, length=iters)
-        return jnp.sum(probes), jnp.sum(dets)
+    def make_fused(length):
+        @jax.jit
+        def fused(state, samples):
+            def body(st, _):
+                out = block_fn(cfg, spec, st, samples)
+                st, res = out[0], out[1]
+                probe = jnp.sum(res.soft_bits[..., 0])
+                if mode == "decoded":  # include FEC output in the probe
+                    probe = probe + jnp.sum(out[2].bits[..., 0])
+                return st, (probe, jnp.sum(res.detected))
+            st, (probes, dets) = lax.scan(body, state, None,
+                                          length=length)
+            return jnp.sum(probes), jnp.sum(dets)
+        return fused
 
-    # measure the bare fetch round trip for subtraction (warm the tiny
-    # probe program first so its compile isn't counted)
-    probe_fn = jax.jit(lambda x: jnp.sum(x[..., :1]).real)
-    log("probe warm")
-    float(np.asarray(probe_fn(dev)))
-    log("probe done")
-    t0 = time.perf_counter()
-    float(np.asarray(probe_fn(dev)))
-    fetch_rtt = time.perf_counter() - t0
+    # Two scan lengths, k and 2k: sps is computed from t(2k) − t(k),
+    # which cancels ALL fixed per-dispatch costs (relay RTT, result
+    # fetch, host dispatch) exactly instead of subtracting a separately
+    # measured — and jittery — fetch RTT.
+    fused_1 = make_fused(iters)
+    fused_2 = make_fused(2 * iters)
 
-    # warm run (compile + execute once)
-    log("fused: compile+warm run")
-    probe, dets = fused(state, dev)
+    def timed(fn):
+        t0 = time.perf_counter()
+        probe, dets = fn(state, dev)
+        float(np.asarray(probe))
+        return time.perf_counter() - t0, dets
+
+    # warm runs (compile + execute once each)
+    log("fused: compile+warm run (k)")
+    probe, dets = fused_1(state, dev)
+    float(np.asarray(probe))
+    log("fused: compile+warm run (2k)")
+    probe, _ = fused_2(state, dev)
     float(np.asarray(probe))
     log("fused warm done; timing")
 
     from openbts_ttsou_tpu.utils.profiling import maybe_trace
 
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     with maybe_trace():  # OPENBTS_TPU_TRACE=<dir> for an XPlane trace
-        t0 = time.perf_counter()
-        probe, dets = fused(state, dev)
-        float(np.asarray(probe))
-        dt = max(time.perf_counter() - t0 - fetch_rtt, 1e-9)
+        t1 = min(timed(fused_1)[0] for _ in range(reps))
+        t2, dets = float("inf"), None
+        for _ in range(reps):
+            t, d = timed(fused_2)
+            if t < t2:
+                t2, dets = t, d
+    dt = t2 - t1  # time for `iters` blocks, fixed overhead cancelled
+    if not (dt > 0.02 and dt > 0.1 * t1):
+        # overhead noise swamped the difference: the measurement is
+        # unreliable — fail this attempt so the watchdog loop retries
+        raise RuntimeError(
+            f"timing too noisy: t1={t1:.4f}s t2={t2:.4f}s")
+    fetch_rtt = max(2 * t1 - t2, 0.0)  # implied fixed overhead
 
     total_samples = iters * n_chan * spec.block_in
     sps = total_samples / dt

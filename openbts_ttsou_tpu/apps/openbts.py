@@ -240,7 +240,8 @@ class BTSApp:
         for ch in self.dcch:
             if ch.sacch is not None and ch.sacch.active and \
                     not ch.sacch.tx_queue:
-                ch.send_sacch(self.bts.sacch_fill_frame(self._si56_flip))
+                ch.send_sacch(self.bts.sacch_fill_frame(self._si56_flip),
+                              fill=True)
                 self._si56_flip += 1
             while ch.l1.tx_queue and ch.l1.tx_queue[0].fn <= horizon:
                 arfcn.write_high_side(ch.l1.tx_queue.popleft())

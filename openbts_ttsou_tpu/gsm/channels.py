@@ -531,13 +531,32 @@ class LogicalChannel:
             return None
         return self.sacch_l2.read_high_side()
 
-    def send_sacch(self, l3: L3Frame) -> None:
-        """Downlink SACCH frame (SI5/SI6 fill or dedicated signaling)."""
+    def send_sacch(self, l3: L3Frame, fill: bool = False) -> None:
+        """Downlink SACCH frame (SI5/SI6 fill or dedicated signaling).
+
+        The reference's SACCHL1Encoder decides fill-vs-data only at
+        dispatch time, so real data never queues behind filler.  Here
+        fill blocks may be pre-queued by the app loop; to preserve the
+        reference's latency, a fill block that has not started
+        transmitting is preempted (removed and its slot re-used) when
+        real L3 data arrives."""
         if self.sacch is None:
             return
+        sa = self.sacch
+        mark = getattr(sa, "_fill_mark", None)
+        if not fill and mark is not None:
+            prev_len, prev_fn, post_len = mark
+            if len(sa.tx_queue) == post_len:  # fill untouched: preempt
+                for _ in range(post_len - prev_len):
+                    sa.tx_queue.pop()
+                sa.next_write_fn = prev_fn
+            sa._fill_mark = None
+        prev = (len(sa.tx_queue), sa.next_write_fn)
         self.sacch_l2.write_high_side(l3)
         for frame in self.sacch_l2.take_l1_out():
             self.sacch_mux.write_high_side(frame)
+        if fill:
+            sa._fill_mark = (prev[0], prev[1], len(sa.tx_queue))
 
     def send(self, l3: L3Frame, sapi: int = 0) -> None:
         """L3 → LAPDm → L1 (LogicalChannel::send)."""

@@ -55,29 +55,19 @@ class Radio:
     #: Digital mixer shifts left over after the analog frequency plan
     #: (the reference hands `wFreq-actFreq` to the DUC/DDC,
     #: Transceiver/USRPDevice.cpp:527,540). Loopback/replay radios have
-    #: no synthesizer grid, so these stay 0 unless a plan is computed.
+    #: no synthesizer, so the base class keeps these 0 and tuning is a
+    #: no-op accept; only `SynthRadioMixin` (hardware-plan) backends
+    #: compute a plan and record residuals.
     tx_residual_hz: float = 0.0
     rx_residual_hz: float = 0.0
 
     def set_tx_freq(self, freq: float) -> bool:
-        """Tune the transmitter. The base implementation runs the
-        RFX900 integer-N plan (compute_regs analogue) and records the
-        residual for the DUC; hardware-free backends just accept it."""
-        from openbts_ttsou_tpu.trx import rfx900
-
-        try:
-            self.tx_residual_hz = rfx900.tune_tx(freq).residual
-        except ValueError:
-            return False
+        """Tune the transmitter. Hardware-free backends accept any
+        frequency and keep the residual 0 (no analog LO exists, so the
+        loopback path must not be shifted)."""
         return True
 
     def set_rx_freq(self, freq: float) -> bool:
-        from openbts_ttsou_tpu.trx import rfx900
-
-        try:
-            self.rx_residual_hz = rfx900.tune_rx(freq).residual
-        except ValueError:
-            return False
         return True
 
     def update_alignment(self, ts: int = 0, probe_len: int = 256) -> int:
@@ -95,6 +85,33 @@ class Radio:
             return self.timestamp_offset  # no loopback path
         self.timestamp_offset = peak
         return peak
+
+
+class SynthRadioMixin:
+    """Tuning policy for radios with a real RFX900-class synthesizer:
+    run the integer-N plan (compute_regs analogue) and record the
+    residual the DUC/DDC must absorb (the reference's
+    `set_tx_freq(0, wFreq-actFreq)`, Transceiver/USRPDevice.cpp:527,540).
+    A hardware backend mixes this in front of `Radio` and applies
+    `tx_residual_hz`/`rx_residual_hz` in its digital NCO."""
+
+    def set_tx_freq(self, freq: float) -> bool:
+        from openbts_ttsou_tpu.trx import rfx900
+
+        try:
+            self.tx_residual_hz = rfx900.tune_tx(freq).residual
+        except ValueError:
+            return False
+        return True
+
+    def set_rx_freq(self, freq: float) -> bool:
+        from openbts_ttsou_tpu.trx import rfx900
+
+        try:
+            self.rx_residual_hz = rfx900.tune_rx(freq).residual
+        except ValueError:
+            return False
+        return True
 
 
 class LoopbackRadio(Radio):

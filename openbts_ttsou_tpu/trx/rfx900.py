@@ -60,14 +60,15 @@ def _r_word() -> int:
 
 
 def _control_word() -> int:
-    """24-bit function latch: charge-pump currents CP1=CP2=7, mute-til-
-    lock-detect, positive phase-detector polarity, MUXOUT = digital
-    lock detect, core power 10 mA (USRPDevice.h:114-147, assembly
-    USRPDevice.cpp:85-97)."""
+    """24-bit function latch: prescaler select P=1 (32/33) at bit 22,
+    charge-pump currents CP1=CP2=7, mute-til-lock-detect, positive
+    phase-detector polarity, MUXOUT = digital lock detect, core power
+    10 mA (USRPDevice.h:114-147, assembly USRPDevice.cpp:85-97)."""
+    p = 1
     cp2, cp1 = 7, 7
     mtld, pdp, muxout, pc = 1, 1, 1, 1
-    return ((cp2 << 17) | (cp1 << 14) | (mtld << 11) | (pdp << 8)
-            | (muxout << 5) | (pc << 2))
+    return ((p << 22) | (cp2 << 17) | (cp1 << 14) | (mtld << 11)
+            | (pdp << 8) | (muxout << 5) | (pc << 2))
 
 
 def _n_word(b: int, a: int, div2: int) -> int:
@@ -162,8 +163,13 @@ GSM850, EGSM900, DCS1800, PCS1900 = 850, 900, 1800, 1900
 
 #: band → (uplink base kHz, base ARFCN, valid ARFCN range(s),
 #:         duplex spacing kHz)
+#:
+#: GSM850 accepts 128–251 per GSM 05.05 §2; this deliberately diverges
+#: from the reference's off-by-one assert (ARFCN>129 && ARFCN<252,
+#: GSM/GSMCommon.cpp:100), which rejects the spec-valid ARFCN 128-129
+#: low edge.
 _BAND = {
-    GSM850: (824200, 128, [(129, 251)], 45000),
+    GSM850: (824200, 128, [(128, 251)], 45000),
     EGSM900: (890000, 0, [(0, 124), (975, 1023)], 45000),
     DCS1800: (1710200, 512, [(512, 885)], 95000),
     PCS1900: (1850200, 512, [(512, 810)], 80000),

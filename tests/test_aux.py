@@ -44,6 +44,49 @@ def test_sacch_l1_header_round_trip():
     np.testing.assert_array_equal(received[0].bits[:168], l2bits)
 
 
+def test_sacch_fill_preempted_by_real_data():
+    """A pre-queued SI5/SI6 fill block that has not started
+    transmitting is replaced by real L3 data (the reference decides
+    fill-vs-data at dispatch time, SACCHL1Encoder, so data never waits
+    a SACCH period behind filler)."""
+    from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+
+    dl, ul = tdma.SACCH_C8[0]
+    l1_dl, l1_ul = tdma.SDCCH_8[0]
+    l1 = channels.XCCHL1(0, l1_dl, l1_ul)
+    sacch = channels.SACCHL1(0, dl, ul)
+    ch = channels.LogicalChannel(l1, sapis=(0, 3), sacch=sacch)
+    l1.open(0)
+    sacch.open(0)
+
+    fill = L3Frame(RNG.integers(0, 2, 144).astype(np.uint8),
+                   Primitive.UNIT_DATA)
+    ch.send_sacch(fill, fill=True)
+    fill_fns = [b.fn for b in sacch.tx_queue]
+    assert len(fill_fns) == 4
+    fill_bits = [b.bits.copy() for b in sacch.tx_queue]
+
+    real = L3Frame(RNG.integers(0, 2, 144).astype(np.uint8),
+                   Primitive.UNIT_DATA)
+    ch.send_sacch(real)
+    # the fill block was preempted: still exactly one 4-burst block,
+    # occupying the same frame numbers, with different payload
+    assert [b.fn for b in sacch.tx_queue] == fill_fns
+    assert any(not np.array_equal(a.bits, b)
+               for a, b in zip(sacch.tx_queue, fill_bits))
+
+    # but once a fill burst has shipped, it is NOT preempted
+    sacch2 = channels.SACCHL1(0, dl, ul)
+    ch2 = channels.LogicalChannel(channels.XCCHL1(0, l1_dl, l1_ul),
+                                  sapis=(0,), sacch=sacch2)
+    ch2.l1.open(0)
+    sacch2.open(0)
+    ch2.send_sacch(fill, fill=True)
+    sacch2.tx_queue.popleft()  # one burst already on the air
+    ch2.send_sacch(real)
+    assert len(sacch2.tx_queue) == 3 + 4  # fill tail + real block
+
+
 def test_gsmtap_emission():
     rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
     rx.bind(("127.0.0.1", 0))

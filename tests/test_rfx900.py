@@ -21,8 +21,8 @@ def ref_compute_regs(freq, master_clock=52e6):
     if b < a:
         return None
     r = (3 << 20) | (1 << 18) | (16 << 2)
-    control = ((7 << 17) | (7 << 14) | (1 << 11) | (1 << 8) | (1 << 5)
-               | (1 << 2))
+    control = ((1 << 22) | (7 << 17) | (7 << 14) | (1 << 11) | (1 << 8)
+               | (1 << 5) | (1 << 2))
     nw = (div2 << 22) | (b << 8) | (a << 2)
     return r, control, nw, actual
 
@@ -78,9 +78,12 @@ def test_arfcn_frequencies():
     assert rfx.downlink_freq_khz(rfx.EGSM900, 62) == \
         890000 + 200 * 62 + 45000
     assert rfx.uplink_freq_khz(rfx.GSM850, 128 + 1) == 824200 + 200
+    # GSM 05.05 low edge (deliberate divergence from the reference's
+    # ARFCN>129 assert; see rfx900._BAND)
+    assert rfx.uplink_freq_khz(rfx.GSM850, 128) == 824200
     assert rfx.uplink_freq_khz(rfx.DCS1800, 512) == 1710200
     assert rfx.downlink_freq_khz(rfx.PCS1900, 512) == 1850200 + 80000
     with pytest.raises(ValueError):
         rfx.uplink_freq_khz(rfx.EGSM900, 500)
     with pytest.raises(ValueError):
-        rfx.uplink_freq_khz(rfx.GSM850, 128)
+        rfx.uplink_freq_khz(rfx.GSM850, 127)
