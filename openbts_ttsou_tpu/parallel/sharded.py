@@ -14,8 +14,27 @@ Maps the reference's process layout (SURVEY.md §2.2) onto a
   Transceiver.cpp:726-739).
 
 Each time shard advances its own copy of the adaptive engine state over
-its frames (a stream-parallel worker); the host exchanges/merges state
-between steps on the clock plane.
+its frames (a stream-parallel worker). With ``carry_state=True`` (the
+default) the step ends with an on-device merge over the `time` axis so
+every shard starts the next step from the stream-end state:
+
+- `energy_threshold`: the shard deltas are summed (`psum`) onto the
+  common start value — exact against the serial engine whenever each
+  shard's window is shorter than the 50-frame adaptation horizon
+  (frames_per_shard ≤ 50), because then each shard contributes at most
+  the events the serial stream would have produced in its frames;
+- `prev_false_detect_fn`: latest event wins (`pmax` of the
+  window-relative fn);
+- per-slot channel/DFE estimates: last writer wins — the shard with
+  the newest `chan_estimate_fn` supplies the [C, 8] slot's state
+  (`all_gather` + argmax; T is small so the gather is bytes).
+
+Within one step the shards still evolve independently from the common
+start (the serial chain is not recomputable in parallel); the merge
+makes the *step-boundary* trajectory track the serial stream, which is
+what the 50-frame-scale adaptation needs. `tests/test_parallel.py::
+test_cross_shard_state_carry` pins this against the serial engine with
+near-threshold bursts and shows the no-carry mode diverging.
 """
 
 from __future__ import annotations
@@ -83,9 +102,80 @@ def state_for_shards(state: eng.TrxState, n_time_shards: int) -> eng.TrxState:
         state)
 
 
+def state_partition_specs() -> eng.TrxState:
+    """PartitionSpecs of the [time_shards]-stacked TrxState — the
+    pipeline's state in/out sharding contract (exported so multi-host
+    drivers can build global arrays with matching NamedShardings)."""
+    return eng.TrxState(
+        fn=P("time"),
+        chan_type=P("time", "chan"),
+        tsc=P("time", "chan"),
+        max_expected_delay=P("time", "chan"),
+        energy_threshold=P("time", "chan"),
+        prev_false_detect_fn=P("time", "chan"),
+        chan_valid=P("time", "chan"),
+        chan_response=P("time", "chan"),
+        chan_resp_offset=P("time", "chan"),
+        chan_amplitude=P("time", "chan"),
+        snr=P("time", "chan"),
+        dfe_forward=P("time", "chan"),
+        dfe_feedback=P("time", "chan"),
+        chan_estimate_fn=P("time", "chan"),
+        filler=P("time", "chan"),
+    )
+
+
+def _merge_time_shards(state0: eng.TrxState, state: eng.TrxState,
+                       fn0: Array, frames_total: int) -> eng.TrxState:
+    """Fold the per-time-shard end states into the stream-end state
+    (the reference's single Transceiver walks these fields serially,
+    Transceiver.cpp:294-356; see the module docstring for the merge
+    semantics and its exactness window). Must run inside `shard_map`
+    over the "time" axis. `state0` is the common step-start state."""
+    from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME, fn_delta
+
+    # cumulative scalar adaptation: sum the shard deltas
+    e_thr = state0.energy_threshold + lax.psum(
+        state.energy_threshold - state0.energy_threshold, "time")
+    # event clock: the latest false-detect/quiet event in the window
+    rel_false = fn_delta(state.prev_false_detect_fn, fn0)
+    rel_false = lax.pmax(rel_false, "time")
+    prev_false = (fn0 + rel_false) % HYPERFRAME
+
+    # per-slot channel/DFE state: the shard holding the newest estimate
+    # wins (estimate fns are disjoint across shards; stale entries are
+    # identical in every shard, so ties are value-ties)
+    rel_est = fn_delta(state.chan_estimate_fn, fn0)  # [C, 8]
+    rels = lax.all_gather(rel_est, "time")  # [T, C, 8]
+    winner = jnp.argmax(rels, axis=0).astype(jnp.int32)
+
+    def take_winner(leaf):
+        g = lax.all_gather(leaf, "time")  # [T, C, 8, ...]
+        idx = winner.reshape((1,) + winner.shape
+                             + (1,) * (g.ndim - 3))
+        idx = jnp.broadcast_to(idx, (1,) + g.shape[1:])
+        return jnp.take_along_axis(g, idx, axis=0)[0]
+
+    return state._replace(
+        fn=((fn0 + frames_total) % HYPERFRAME).astype(jnp.int32),
+        energy_threshold=e_thr,
+        prev_false_detect_fn=prev_false,
+        chan_valid=take_winner(state.chan_valid),
+        chan_response=take_winner(state.chan_response),
+        chan_resp_offset=take_winner(state.chan_resp_offset),
+        chan_amplitude=take_winner(state.chan_amplitude),
+        snr=take_winner(state.snr),
+        dfe_forward=take_winner(state.dfe_forward),
+        dfe_feedback=take_winner(state.dfe_feedback),
+        chan_estimate_fn=take_winner(state.chan_estimate_fn),
+    )
+
+
 def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                             spec: ShardedPipelineSpec,
-                            mode: str = "exact"):
+                            mode: str = "exact",
+                            carry_state: bool = True,
+                            collectives: bool = True):
     """Build the jitted sharded step.
 
     Returns ``step(state_sh, samples, fn0) -> (state_sh, result, clock)``
@@ -106,31 +196,20 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
     cfg_local = cfg._replace(n_chan=c_local)
     lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)  # trace-time const
 
-    state_specs = eng.TrxState(
-        fn=P("time"),
-        chan_type=P("time", "chan"),
-        tsc=P("time", "chan"),
-        max_expected_delay=P("time", "chan"),
-        energy_threshold=P("time", "chan"),
-        prev_false_detect_fn=P("time", "chan"),
-        chan_valid=P("time", "chan"),
-        chan_response=P("time", "chan"),
-        chan_resp_offset=P("time", "chan"),
-        chan_amplitude=P("time", "chan"),
-        snr=P("time", "chan"),
-        dfe_forward=P("time", "chan"),
-        dfe_feedback=P("time", "chan"),
-        chan_estimate_fn=P("time", "chan"),
-        filler=P("time", "chan"),
-    )
+    state_specs = state_partition_specs()
     result_specs = eng.RxResult(*([P("time", "chan")] * 5))
 
     def body(state_sh: eng.TrxState, samples: Array, fn0: Array):
         # drop the leading per-shard axis (size 1 locally)
         state = jax.tree.map(lambda x: x[0], state_sh)
+        state0 = state
         # 1. halo exchange + blockwise resample to symbol rate (sp axis)
         h = spec.halo_in
-        x = exchange_halo(samples, h, h, "time")
+        if collectives:
+            x = exchange_halo(samples, h, h, "time")
+        else:  # benchmark isolation only: zero halos, WRONG at edges
+            x = jnp.pad(samples,
+                        [(0, 0)] * (samples.ndim - 1) + [(h, h)])
         sym = resample_block(x, spec.p, spec.q, lpf, h, spec.block_in)
         # 2. slot windows for this shard's frames
         wins = _slot_windows(sym, spec.frames_per_shard)  # [F, C, 8, 157]
@@ -151,10 +230,18 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                 return eng.rx_step(cfg_local, st, frame)
 
             state, results = lax.scan(frame_step, state, wins)
-        # 4. clock plane: agree on total samples consumed
-        clock = lax.psum(
-            jnp.asarray(samples.shape[-1], jnp.int32) *
-            jnp.ones((), jnp.int32), ("time", "chan")) // n_chan_dev
+        # 4. cross-time-shard state carry: merge the adaptive state so
+        # every shard starts the next step from the stream-end state
+        if carry_state and collectives:
+            state = _merge_time_shards(
+                state0, state, fn0, n_time * spec.frames_per_shard)
+        # 5. clock plane: agree on total samples consumed
+        if collectives:
+            clock = lax.psum(
+                jnp.asarray(samples.shape[-1], jnp.int32) *
+                jnp.ones((), jnp.int32), ("time", "chan")) // n_chan_dev
+        else:
+            clock = jnp.asarray(samples.shape[-1] * n_time, jnp.int32)
         if mode == "decoded":
             # 5. on-device FEC per shard (decode_block): XCCH groups +
             # RACH, stacked along the time axis like the results

@@ -153,6 +153,101 @@ def test_sharded_pipeline_matches_serial():
                                atol=5e-3)
 
 
+def test_cross_shard_state_carry():
+    """The adaptive engine state must track the serial stream across
+    sharded steps (the reference's single Transceiver walks energy
+    thresholds and channel state serially, Transceiver.cpp:294-356).
+
+    Scenario: near-threshold bursts whose detectability depends on the
+    accumulated threshold adaptation — slot 1 bursts open the energy
+    gate only after the first quiet decrement (−10 @ frame 51), and
+    slot 2 bursts (planted from frame 104, a step boundary) are
+    detectable only because ~50 slot-1 hits (−1 each) have lowered the
+    threshold. With carry_state the step-boundary threshold trajectory
+    and every detection match the serial engine; without it each shard
+    misses the other's hits and slot 2 goes undetected."""
+    devs = np.asarray(jax.devices()[:2]).reshape(1, 2)
+    mesh = jax.sharding.Mesh(devs, ("chan", "time"))
+    n_time, F = 2, 13
+    steps = 6
+    frames_total = steps * n_time * F  # 156
+    cfg = TrxConfig(n_chan=1)
+    spec = ShardedPipelineSpec(n_chan_total=1, frames_per_shard=F)
+
+    wave1 = np.asarray(gmsk.modulate_burst(
+        normal_burst_bits(seed=5)[None], 1))[0]
+    # Calibrate so the energy gate (mean power of the first 20 samples
+    # of the slot window vs threshold², ops.correlate.energy_detect)
+    # sees the target power AFTER the 96/65 up + 65/96 down round trip:
+    # pilot-plant the burst, round-trip, measure.
+    up_lpf = fir.resampler_lpf(96, 65, 651)
+    down_lpf = fir.resampler_lpf(65, 96, 961)
+    pilot = np.zeros((1, 13 * 1250), np.complex64)
+    pilot[0, 6 * 1250 + 157: 6 * 1250 + 157 + len(wave1)] = wave1
+    pilot_rt = np.asarray(fir.polyphase_resample(
+        fir.polyphase_resample(jnp.asarray(pilot), 96, 65, up_lpf),
+        65, 96, down_lpf))
+    pw20 = np.mean(np.abs(pilot_rt[0, 6 * 1250 + 157:
+                                   6 * 1250 + 157 + 20]) ** 2)
+    a1 = np.sqrt(60000.0 / pw20)   # between 240² and 250²
+    a2 = np.sqrt(40000.0 / pw20)   # needs threshold < 200
+    sym = np.zeros((1, frames_total * 1250), np.complex64)
+    for f in range(frames_total):
+        off = f * 1250 + 157  # slot 1
+        sym[0, off: off + len(wave1)] += a1 * wave1
+        if f >= 104:  # slot 2, from a step boundary
+            off2 = f * 1250 + 157 + 156
+            sym[0, off2: off2 + len(wave1)] += a2 * wave1
+    dev_rate = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, up_lpf))
+
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 1] = chan_type[0, 2] = ChanType.I
+    state0 = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    # serial reference over the whole stream
+    sym_back = fir.polyphase_resample(jnp.asarray(dev_rate), 65, 96,
+                                      down_lpf)
+    wins = _slot_windows(sym_back, frames_total)
+    st = state0
+    det_serial = []
+    thr_serial = []  # threshold at each step boundary
+    for f in range(frames_total):
+        st, r = rx_step(cfg, st, wins[f])
+        det_serial.append(np.asarray(r.detected))
+        if (f + 1) % (n_time * F) == 0:
+            thr_serial.append(float(np.asarray(st.energy_threshold)[0]))
+    det_serial = np.stack(det_serial)  # [156, 1, 8]
+    # sanity: the scenario is actually near-threshold
+    assert not det_serial[:51, 0, 1].any()
+    assert det_serial[52:, 0, 1].all()
+    assert det_serial[104:, 0, 2].all() and not det_serial[:104, 0, 2].any()
+
+    def run(carry):
+        step = sharded_uplink_pipeline(mesh, cfg, spec,
+                                       carry_state=carry)
+        st_sh = state_for_shards(state0, n_time)
+        dets, thrs = [], []
+        block = n_time * spec.block_in
+        for s in range(steps):
+            x = jnp.asarray(dev_rate[:, s * block: (s + 1) * block])
+            st_sh, res, _ = step(st_sh, x,
+                                 jnp.asarray(s * n_time * F, jnp.int32))
+            dets.append(np.asarray(res.detected))
+            thrs.append(float(np.asarray(st_sh.energy_threshold)[0, 0]))
+        return np.concatenate(dets), thrs
+
+    det_carry, thr_carry = run(True)
+    np.testing.assert_array_equal(det_carry, det_serial)
+    np.testing.assert_allclose(thr_carry, thr_serial, atol=1e-3)
+
+    det_nc, thr_nc = run(False)
+    # without the carry the accumulated hit decrements are lost and the
+    # slot-2 bursts stay below the per-shard gates
+    assert det_nc[104:, 0, 2].sum() < det_serial[104:, 0, 2].sum()
+    assert not np.allclose(thr_nc, thr_serial, atol=1.0)
+
+
 def test_distributed_helpers_single_process():
     from openbts_ttsou_tpu.parallel import distributed
 

@@ -73,22 +73,40 @@ def main():
             (rng.standard_normal((n_chan, n_time * spec.block_in))
              + 1j * rng.standard_normal((n_chan, n_time * spec.block_in))
              ).astype(np.complex64) * 400.0)
-        step = sharded_uplink_pipeline(mesh, cfg, spec)
-        st, res, clock = step(state_sh, samples, jnp.asarray(0, jnp.int32))
-        float(np.asarray(jnp.sum(res.soft_bits[..., 0])))  # warm + sync
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            st, res, clock = step(st, samples, jnp.asarray(0, jnp.int32))
-        float(np.asarray(jnp.sum(res.soft_bits[..., 0])))
-        dt = time.perf_counter() - t0
+
+        def measure(**kw):
+            step = sharded_uplink_pipeline(mesh, cfg, spec, **kw)
+            st, res, clock = step(state_sh, samples,
+                                  jnp.asarray(0, jnp.int32))
+            float(np.asarray(jnp.sum(res.soft_bits[..., 0])))  # warm+sync
+            best = float("inf")
+            for _ in range(3):  # min-of-3: the 2-core host is noisy
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    st, res, clock = step(st, samples,
+                                          jnp.asarray(0, jnp.int32))
+                float(np.asarray(jnp.sum(res.soft_bits[..., 0])))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        dt = measure()  # full pipeline: halos + clock psum + carry
+        dt_nocarry = measure(carry_state=False)
+        dt_nocoll = measure(collectives=False)  # compute-only isolation
         total = args.iters * n_chan * n_time * spec.block_in
         sps = total / dt
         results.append({"devices": n, "mesh": dict(mesh.shape),
                         "Msps": round(sps / 1e6, 3)})
         base = results[0]["Msps"]
         eff = sps / 1e6 / (base * n)
-        print(json.dumps({**results[-1],
-                          "efficiency_vs_1dev": round(eff, 3)}))
+        print(json.dumps({
+            **results[-1],
+            "efficiency_vs_1dev": round(eff, 3),
+            "step_ms": round(dt / args.iters * 1e3, 2),
+            "carry_cost_ms": round((dt - dt_nocarry) / args.iters * 1e3,
+                                   2),
+            "collective_cost_ms": round(
+                (dt - dt_nocoll) / args.iters * 1e3, 2),
+        }))
 
 
 if __name__ == "__main__":
