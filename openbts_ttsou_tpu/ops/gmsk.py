@@ -138,31 +138,49 @@ def delay_vector(x: Array, delay: Array, num_taps: int = 21,
     delayVector (sigProcLib.cpp:573-616): a `num_taps` sinc interpolator
     at the fractional part, displaced by the integer part.
 
-    TPU-first formulation: the integer shift is folded INTO the
-    per-burst kernel (the 21 sinc taps placed at offset ⌊delay⌋ inside a
-    num_taps + 2·max_shift window), so the whole delay is one
-    shift-and-accumulate convolution — a per-row dynamic gather of
-    [B, T] runs element-at-a-time on TPU and measured ~8× slower than
-    this. Integer shifts beyond ±max_shift clamp (the engine bounds TOA
-    by the correlation window / SETMAXDELAY well inside that).
+    TPU-first formulation: the fractional part is a per-burst
+    `num_taps`-tap sinc convolution; the integer part is a radix-9
+    shift — two 9-way one-hot select-accumulate stages (k = 9·q + r)
+    over stride-1 slices. A per-row dynamic gather of [B, T] runs
+    element-at-a-time on TPU (measured ~8× slower), and folding the
+    integer shift into one (num_taps + 2·max_shift)-tap kernel — the
+    previous formulation — costs 101-tap dense FMAs for 21 live taps.
+    Integer shifts beyond ±max_shift clamp (the engine bounds TOA by
+    the correlation window / SETMAXDELAY well inside that).
     """
     x = jnp.asarray(x)
+    t = x.shape[-1]
     delay = jnp.broadcast_to(jnp.asarray(delay, jnp.float32), x.shape[:-1])
-    int_off = jnp.clip(jnp.floor(delay), -max_shift, max_shift)
+    int_off = jnp.clip(jnp.floor(delay), -max_shift, max_shift
+                       ).astype(jnp.int32)
     frac = delay - jnp.floor(delay)
-    c = num_taps // 2
-    length = num_taps + 2 * max_shift
-    # j = position within the num_taps sinc frame after displacing by
-    # int_off; outside [0, num_taps) the kernel is zero
-    i = jnp.arange(length, dtype=jnp.float32)
-    j = i - max_shift - int_off[..., None]
-    arg = j - c - frac[..., None]
-    kernel = jnp.sinc(arg)
-    small = (jnp.abs(frac) <= 1e-2)[..., None]
-    kernel = jnp.where(small, (j == c).astype(jnp.float32), kernel)
-    kernel = jnp.where((j >= 0) & (j < num_taps), kernel, 0.0)
-    return fir.convolve(x, kernel.astype(jnp.complex64), fir.NO_DELAY,
-                        b_real=True)
+    kernel = fractional_delay_kernel(frac, num_taps)
+    y = fir.convolve(x, kernel.astype(jnp.complex64), fir.NO_DELAY,
+                     b_real=True)
+
+    # integer shift y[t] -> y[t - k], zero outside, as two one-hot
+    # stages: k = (9·a − 4·9) + (r − 4) with a, r ∈ [0, 9)
+    radix = 9
+    assert 2 * max_shift + 1 <= radix * radix
+    base = radix // 2 * radix  # 36
+    ka = (int_off + base + radix // 2) // radix  # [0, 9)
+    kr = (int_off + base + radix // 2) % radix  # [0, 9)
+    pad = [(0, 0)] * (x.ndim - 1)
+    yp = jnp.pad(y, pad + [(base + radix // 2, base + radix // 2)])
+    mid = None
+    for a in range(radix):
+        sel = (ka == a).astype(jnp.float32)[..., None]
+        s = jax.lax.slice_in_dim(yp, 2 * base - radix * a,
+                                 2 * base - radix * a + t + radix - 1,
+                                 axis=-1)
+        mid = s * sel if mid is None else mid + s * sel
+    out = None
+    for r in range(radix):
+        sel = (kr == r).astype(jnp.float32)[..., None]
+        s = jax.lax.slice_in_dim(mid, radix - 1 - r, radix - 1 - r + t,
+                                 axis=-1)
+        out = s * sel if out is None else out + s * sel
+    return out
 
 
 def decimate(x: Array, factor: int) -> Array:
