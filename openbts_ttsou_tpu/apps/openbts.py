@@ -48,8 +48,9 @@ class BTSApp:
         self.trx_child: Optional[subprocess.Popen] = None
         if spawn_transceiver:
             self.restart_transceiver()
+        self.n_arfcn = c.get_int("GSM.NumARFCNs", 1)
         self.trx = TransceiverManager(
-            n_arfcn=1, local_base=trx_base_port + 100,
+            n_arfcn=self.n_arfcn, local_base=trx_base_port + 100,
             remote_base=trx_base_port)
         self.bts.clock = self.trx.clock
         self.sip: Optional[SIPInterface] = None
@@ -113,17 +114,24 @@ class BTSApp:
                 sacch.clock = self.bts.clock.fn
                 self.bts.add_sdcch(ch)
                 self.dcch.append(ch)
+        # TCH/F slots: fill the remaining C0 timeslots first, then whole
+        # extra carriers (one ARFCNManager per carrier, TRXManager.h:62,
+        # 115; the beacon/CCCH/RACH stay C0-only per their mappings)
         n_tch = c.get_int("GSM.NumTCH", 2)
-        for tn in range(tn_next, tn_next + min(n_tch, 8 - tn_next)):
+        tch_sites = [(0, tn) for tn in range(tn_next, 8)]
+        for car in range(1, self.n_arfcn):
+            tch_sites += [(car, tn) for tn in range(8)]
+        for car, tn in tch_sites[:n_tch]:
             tch_l1 = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF,
                                          tdma.FACCH_TCHF, tsc=self.bts.bcc)
             tch_l1.clock = self.bts.clock.fn
+            tch_l1.carrier = car
             self.bts.add_tch(channels.TCHFACCHLogicalChannel(tch_l1))
-        arfcn = self.trx.arfcn(0)
-        arfcn.install_decoder(self.rach)
+        self.trx.arfcn(0).install_decoder(self.rach)
         for tch in self.bts.tch_pool:
-            arfcn.install_decoder(tch.l1)
+            self.trx.arfcn(self._carrier_of(tch)).install_decoder(tch.l1)
         for ch in self.dcch:
+            arfcn = self.trx.arfcn(self._carrier_of(ch))
             arfcn.install_decoder(ch.l1)
             if ch.sacch is not None:
                 arfcn.install_decoder(ch.sacch)
@@ -135,6 +143,12 @@ class BTSApp:
         self._last_clock_fn = -1
         self._last_clock_change = systime.monotonic()
 
+    @staticmethod
+    def _carrier_of(ch) -> int:
+        """The carrier index a channel (or L1) transmits on."""
+        l1 = getattr(ch, "l1", ch)
+        return getattr(l1, "carrier", 0)
+
     # -- transceiver child management (OpenBTS.cpp:93-155) -------------
     def restart_transceiver(self) -> None:
         if self.trx_child is not None:
@@ -142,22 +156,31 @@ class BTSApp:
             self.trx_child.wait(timeout=5)
         self.trx_child = subprocess.Popen(
             [sys.executable, "-m", "openbts_ttsou_tpu.trx.daemon",
-             "--base-port", str(self.trx_base_port)])
+             "--base-port", str(self.trx_base_port),
+             "--arfcns", str(getattr(self, "n_arfcn", 1))])
 
     def bringup(self, arfcn_khz: int = 890000) -> bool:
-        """Radio bring-up sequence (OpenBTS.cpp:200-214)."""
-        a = self.trx.arfcn(0)
-        ok = a.power_off()
-        ok &= a.set_tsc(self.bts.bcc)
-        ok &= a.tune(arfcn_khz, arfcn_khz + 45000)
-        ok &= a.set_power(0)
-        ok &= a.set_max_delay(4)
-        ok &= a.set_slot(0, 5)  # C-V beacon slot (OpenBTS.cpp:213)
+        """Radio bring-up sequence (OpenBTS.cpp:200-214), repeated per
+        carrier at 200 kHz spacing (one ARFCNManager per carrier,
+        TRXManager.h:115)."""
+        ok = True
+        for car in range(self.n_arfcn):
+            a = self.trx.arfcn(car)
+            khz = arfcn_khz + 200 * car
+            ok &= a.power_off()
+            ok &= a.set_tsc(self.bts.bcc)
+            ok &= a.tune(khz, khz + 45000)
+            ok &= a.set_power(0)
+            ok &= a.set_max_delay(4)
+        a0 = self.trx.arfcn(0)
+        ok &= a0.set_slot(0, 5)  # C-V beacon slot (OpenBTS.cpp:213)
         for tn in getattr(self, "_c7_tns", []):
-            ok &= a.set_slot(tn, 7)  # combination VII (SDCCH/8)
-        for tn in sorted({t.tn for t in self.bts.tch_pool}):
-            ok &= a.set_slot(tn, 1)  # combination I (TCH/F)
-        ok &= a.power_on()
+            ok &= a0.set_slot(tn, 7)  # combination VII (SDCCH/8)
+        for car, tn in sorted({(self._carrier_of(t), t.tn)
+                               for t in self.bts.tch_pool}):
+            ok &= self.trx.arfcn(car).set_slot(tn, 1)  # C-I (TCH/F)
+        for car in range(self.n_arfcn):
+            ok &= self.trx.arfcn(car).power_on()
         return ok
 
     # -- SIP inbound hooks ---------------------------------------------
@@ -184,7 +207,8 @@ class BTSApp:
         paging (the union of the reference's service threads)."""
         self.trx.poll_clock(timeout_ms=0)
         arfcn = self.trx.arfcn(0)
-        arfcn.drive_rx(timeout_ms=0)
+        for a in self.trx.arfcns:
+            a.drive_rx(timeout_ms=0)
         fn_now = self.bts.clock.fn()
         # drain decoded L3 from dedicated channels into Control — the
         # TCH pool included: its LAPDm rides the FACCH
@@ -254,12 +278,13 @@ class BTSApp:
         # in-call voice pumps (CallControl.cpp:393-407 loop body)
         for tch in self.bts.tch_pool:
             l1 = tch.l1
+            a = self.trx.arfcn(self._carrier_of(tch))
             if l1.active:
                 l1.resync(fn_now)
                 while l1.next_write_fn <= horizon:
                     l1.dispatch_block()
             while l1.tx_queue and l1.tx_queue[0].fn <= horizon:
-                arfcn.write_high_side(l1.tx_queue.popleft())
+                a.write_high_side(l1.tx_queue.popleft())
         for t in self.control.transactions.entries():
             pump = getattr(t, "voice", None)
             if pump is not None:

@@ -74,6 +74,16 @@ def xcch_encode(frames: Array,
     return fec.map_to_burst(i, stealing, tsc=tsc)
 
 
+def xcch_decode_coded(c_soft: Array) -> tuple[Array, Array]:
+    """456 deinterleaved soft coded bits → (frame [..., 184] air-order,
+    ok [...]): the Viterbi + FireCode tail of XCCHL1Decoder::decode
+    (GSML1FEC.cpp:632-655). Also the FACCH frame decoder — FACCH is
+    XCCH coding on the TCH's stolen 8-burst diagonal."""
+    u = fec.viterbi_decode(jnp.asarray(c_soft, jnp.float32))  # [..., 228]
+    ok = fec.syndrome_ok(u[..., :224], fec.FIRECODE_XCCH)
+    return u[..., :184], ok
+
+
 def xcch_decode(soft_bursts: Array) -> tuple[Array, Array]:
     """4 soft bursts [..., 4, 148] (or payloads [..., 4, 114]) →
     (frames [..., 184], ok [...]) (XCCHL1Decoder::processBurst +
@@ -84,9 +94,7 @@ def xcch_decode(soft_bursts: Array) -> tuple[Array, Array]:
     else:
         payload = soft_bursts
     c = fec.deinterleave(payload, fec.xcch_interleave_map())
-    u = fec.viterbi_decode(c)  # [..., 228]
-    ok = fec.syndrome_ok(u[..., :224], fec.FIRECODE_XCCH)
-    return u[..., :184], ok
+    return xcch_decode_coded(c)
 
 
 # ---------------------------------------------------------------------------

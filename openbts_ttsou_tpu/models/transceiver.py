@@ -166,7 +166,9 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
                                       amplitude)[:, None])[flat_last]
     snr_new = (jnp.abs(amplitude) ** 2 /
                (thr * thr + 1.0))[flat_last].reshape(c, 8)
-    w_new, b_new = dfe_mod.design_dfe(chan_norm,
+    # symbol-rate DFE design (see trx/engine.py: the reference's
+    # designDFE/equalizeBurst are symbol-rate constructs)
+    w_new, b_new = dfe_mod.design_dfe(chan_norm[..., ::sps],
                                       jnp.maximum(snr_new.reshape(-1),
                                                   1e-6), eng.DFE_NF)
 
@@ -220,15 +222,30 @@ class DecodedBlocks(NamedTuple):
     """On-device FEC output for one uplink block: XCCH blocks fully
     contained in the window (`bits` [G, C, 8, 184] uint8 in air bit
     order, `ok` [G, C, 8] bool FireCode syndrome, `first_fn` [] int32 —
-    the FN of group 0's first burst) plus per-frame RACH decodes
+    the FN of group 0's first burst), per-frame RACH decodes
     (`rach_ra` [F, C, 8] int32, `rach_ok` [F, C, 8] bool — RA value and
-    color-code check where a RACH was detected)."""
+    color-code check where a RACH was detected), and TCH/FS + FACCH
+    8-burst diagonal half-blocks completing inside the window
+    (TCHFACCHL1Decoder, GSML1FEC.cpp:1031-1175): `tch_speech`
+    [Gt, C, 8, 260] uint8 coder-order vocoder frames, `tch_good`
+    [Gt, C, 8] (class-1a parity + tail, and not stolen), `facch_bits`
+    [Gt, C, 8, 184] air-order FACCH frames with `facch_ok` (FireCode,
+    and stolen), `tch_stolen` [Gt, C, 8] (the completing burst's Hl
+    flag), `tch_end_fn` [Gt] int32 FN of each group's completing burst
+    (−1 where `tch_valid` is False — the window held no such group)."""
 
     bits: Array
     ok: Array
     first_fn: Array
     rach_ra: Array
     rach_ok: Array
+    tch_speech: Array
+    tch_good: Array
+    facch_bits: Array
+    facch_ok: Array
+    tch_stolen: Array
+    tch_end_fn: Array
+    tch_valid: Array
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 4))
@@ -255,12 +272,47 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     return new_state, res, decode_block(res, fn0, spec.frames, bsic)
 
 
+@functools.lru_cache(maxsize=None)
+def _tch_group_tables(frames: int):
+    """Static TCH half-block geometry per window phase p = fn0 % 26.
+
+    The TCH/F 26-multiframe (GSMTDMA.cpp:245-270) skips fn%26 ∈ {12, 25}
+    (SACCH/idle); the diagonal burst index B = reverseMapping(fn) % 8 is
+    continuous across repeats (24 ≡ 0 mod 8). A half-block completes at
+    every burst with B % 4 == 3 whose 7 predecessors are also inside
+    the window (TCHFACCHL1Decoder::processBurst, GSML1FEC.cpp:1051-1068).
+
+    Returns (frame_idx [26, Gt, 8], end_frame [26, Gt], valid [26, Gt]).
+    """
+    from openbts_ttsou_tpu.gsm.tdma import FACCH_TCHF
+
+    rev = FACCH_TCHF.reverse_map()  # [26], −1 on SACCH/idle
+    per_phase = []
+    gmax = 1
+    for p in range(26):
+        tch = [(f, int(rev[(p + f) % 26]) % 8) for f in range(frames)
+               if rev[(p + f) % 26] >= 0]
+        groups = [([tch[i - 7 + j][0] for j in range(8)], f)
+                  for i, (f, b) in enumerate(tch)
+                  if b % 4 == 3 and i >= 7]
+        per_phase.append(groups)
+        gmax = max(gmax, len(groups))
+    idx = np.zeros((26, gmax, 8), np.int32)
+    end = np.zeros((26, gmax), np.int32)
+    valid = np.zeros((26, gmax), bool)
+    for p, groups in enumerate(per_phase):
+        for g, (fr, f_end) in enumerate(groups):
+            idx[p, g], end[p, g], valid[p, g] = fr, f_end, True
+    return idx, end, valid
+
+
 def decode_block(res: eng.RxResult, fn0: Array, frames: int,
                  bsic: int = 0) -> DecodedBlocks:
     """FEC-decode one block's RxResult on device: the FN%4-aligned
-    4-burst XCCH groups inside the window plus per-frame RACH decode.
-    Shared by the single-chip and sharded pipelines."""
-    from openbts_ttsou_tpu.gsm import l1fec
+    4-burst XCCH groups inside the window, per-frame RACH decode, and
+    the TCH/FS + FACCH 8-burst diagonal half-blocks. Shared by the
+    single-chip and sharded pipelines."""
+    from openbts_ttsou_tpu.gsm import fec, l1fec
 
     n_g = frames // 4
     c = res.soft_bits.shape[1]
@@ -279,12 +331,44 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
     rach_soft = res.soft_bits[
         ..., l1fec.RACH_DATA_START: l1fec.RACH_DATA_START + 36]
     ra, ra_ok = l1fec.rach_decode(rach_soft, bsic)
+
+    # TCH/FS + FACCH (TCHFACCHL1Decoder::processBurst + deinterleave +
+    # decode/decodeTCH, GSML1FEC.cpp:1031-1175). In window coordinates
+    # the deinterleaver's circular-row offsets (0/4) fold away: with
+    # the group's 8 bursts ordered oldest→newest, coded bit k always
+    # reads burst k % 8 — i.e. tch_interleave_map(0).
+    ti, te, tv = _tch_group_tables(frames)
+    gt = ti.shape[1]
+    p26 = fn0 % 26
+    gf = lax.dynamic_index_in_dim(jnp.asarray(ti), p26, 0, keepdims=False)
+    ge = lax.dynamic_index_in_dim(jnp.asarray(te), p26, 0, keepdims=False)
+    gv = lax.dynamic_index_in_dim(jnp.asarray(tv), p26, 0, keepdims=False)
+    grp = jnp.take(res.soft_bits, gf.reshape(-1), axis=0)
+    grp = jnp.moveaxis(grp.reshape((gt, 8, c, 8, 148)), 1, 3)
+    payload, (hl, _hu) = fec.unmap_from_burst(grp)  # [Gt, C, 8, 8, 114]
+    coded = fec.deinterleave(payload.reshape(gt * c * 8, 8, 114),
+                             fec.tch_interleave_map(0))  # [.., 456]
+    # stealing flag: Hl of the completing (newest) burst
+    # (GSML1FEC.cpp:1073; the encoder sets both H bits per GSM 05.03
+    # 4.2.5, the decoder keys on Hl)
+    stolen = hl[..., 7] > 0.5  # [Gt, C, 8]
+    speech, tch_parity = l1fec.tch_decode(coded)
+    fbits, f_ok = l1fec.xcch_decode_coded(coded)
+    gvc = gv[:, None, None]
+
     return DecodedBlocks(
         bits=bits.reshape(n_g, c, 8, 184),
         ok=ok.reshape(n_g, c, 8) & complete[:, None, None],
         first_fn=(fn0 + off) % HYPERFRAME,
         rach_ra=ra.astype(jnp.int32),
         rach_ok=ra_ok & res.is_rach,
+        tch_speech=speech.reshape(gt, c, 8, 260),
+        tch_good=tch_parity.reshape(gt, c, 8) & ~stolen & gvc,
+        facch_bits=fbits.reshape(gt, c, 8, 184),
+        facch_ok=f_ok.reshape(gt, c, 8) & stolen & gvc,
+        tch_stolen=stolen & gvc,
+        tch_end_fn=jnp.where(gv, (fn0 + ge) % HYPERFRAME, -1),
+        tch_valid=gv,
     )
 
 

@@ -261,7 +261,11 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         out_specs = out_specs + (DecodedBlocks(
             bits=P("time", "chan"), ok=P("time", "chan"),
             first_fn=P("time"), rach_ra=P("time", "chan"),
-            rach_ok=P("time", "chan")),)
+            rach_ok=P("time", "chan"),
+            tch_speech=P("time", "chan"), tch_good=P("time", "chan"),
+            facch_bits=P("time", "chan"), facch_ok=P("time", "chan"),
+            tch_stolen=P("time", "chan"), tch_end_fn=P("time"),
+            tch_valid=P("time")),)
     mapped = jax.shard_map(
         body, mesh=mesh,
         in_specs=(state_specs, P("chan", "time"), P()),

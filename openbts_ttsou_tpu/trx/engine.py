@@ -143,7 +143,10 @@ def init_state(cfg: TrxConfig) -> TrxState:
         chan_amplitude=np.ones((c, 8), np.complex64),
         snr=np.ones((c, 8), np.float32),
         dfe_forward=np.zeros((c, 8, DFE_NF), np.complex64),
-        dfe_feedback=np.zeros((c, 8, nw - 1), np.complex64),
+        # the DFE is symbol-rate (equalizeBurst "Assumes symbol-rate
+        # sampling"), so the feedback span is CHAN_TAPS − 1 regardless
+        # of sps — the design input is the decimated channel estimate
+        dfe_feedback=np.zeros((c, 8, CHAN_TAPS - 1), np.complex64),
         chan_estimate_fn=np.zeros((c, 8), np.int32),
         filler=np.broadcast_to(dummy, (c, 8, SLOT_SAMPLES * sps)).copy(),
     ))
@@ -250,7 +253,13 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     # SNRestimate = |amp|²/(thr²+1) (cpp:330)
     new_snr = jnp.abs(amplitude) ** 2 / (thr * thr + 1.0)
     chan_norm = chan_est / jnp.where(amplitude == 0, 1.0, amplitude)[:, None]
-    dfe_w, dfe_b = dfe_mod.design_dfe(chan_norm, jnp.maximum(new_snr, 1e-6),
+    # The DFE is a symbol-rate construct: the reference's designDFE
+    # G1(Nf) buffer requires ≤ Nf channel taps (sigProcLib.cpp:1253-1264
+    # would overflow on a 6·sps-tap estimate at sps > 1, and
+    # equalizeBurst says "Assumes symbol-rate sampling"). Decimate the
+    # oversampled estimate to its 6 symbol-rate taps first.
+    dfe_chan = chan_norm[..., :: cfg.sps] if cfg.sps > 1 else chan_norm
+    dfe_w, dfe_b = dfe_mod.design_dfe(dfe_chan, jnp.maximum(new_snr, 1e-6),
                                       DFE_NF)
 
     def upd(old, new, mask):

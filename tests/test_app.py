@@ -42,8 +42,12 @@ def test_bringup_and_beacon(rig):
     while time.time() < deadline and app.bts.clock.fn() == 0:
         app.trx.poll_clock(timeout_ms=100)
     assert app.bts.clock.fn() > 0
-    # service loop schedules beacon bursts into the daemon
-    for _ in range(20):
+    # service loop schedules beacon bursts into the daemon; the
+    # daemon's first frame includes the engine jit compile, so poll
+    # with a generous deadline rather than a fixed step count
+    deadline = time.time() + 120
+    while time.time() < deadline and daemon.fn == 0 and \
+            len(daemon.pending_tx) == 0:
         app.step()
         time.sleep(0.005)
     assert len(daemon.pending_tx) > 0 or daemon.fn > 0

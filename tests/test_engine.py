@@ -255,3 +255,24 @@ def test_rach_max_delay_gate():
     assert run(0)  # unbounded accepts
     assert run(10)  # window covers the 6-symbol delay
     assert not run(2)  # too-late burst rejected
+
+
+def test_rx_step_detects_at_sps4():
+    """One engine frame at sps=4 (sigProcLibTest geometry): the
+    sps-parameterized slot windows, correlators and demodulator detect
+    and demodulate a 4-samples-per-symbol burst."""
+    sps = 4
+    cfg = TrxConfig(n_chan=1, sps=sps)
+    state = init_state(cfg)._replace(
+        chan_type=jnp.full((1, 8), ChanType.I, jnp.int32))
+    bits = normal_burst_bits(tsc=0, seed=9)
+    wave = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], sps))[0]
+    frame = np.zeros((1, 8, SLOT_SAMPLES * sps), np.complex64)
+    frame[0, 3, : len(wave)] = wave
+    st, res = rx_step(cfg, state, jnp.asarray(frame))
+    det = np.asarray(res.detected)
+    assert det[0, 3] and det.sum() == 1
+    soft = np.asarray(res.soft_bits)[0, 3]
+    assert np.array_equal((soft[:148] > 0.5).astype(int), bits)
+    # TOA is reported in 1/256-symbol units and should be ~0
+    assert abs(int(np.asarray(res.timing)[0, 3])) < 256

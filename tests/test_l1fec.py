@@ -124,3 +124,31 @@ def test_tdma_reverse_map():
     assert tdma.BCCH.reverse(0) is None
     assert tdma.SCH.next_write_time(2) == 11
     assert tdma.SCH.next_write_time(52) == 52  # 52 % 51 == 1 occupied
+
+
+def test_sch_decode_in_program_over_the_air():
+    """Fused beacon scan (MS-side / iq_tool use; the reference BTS only
+    ENCODES SCH — GSML1FEC.cpp:880-925 has no SCH decoder): one jitted
+    program modulates an SCH burst, coherently demodulates it at the
+    symbol rate, and runs sch_decode — encode→air→decode without
+    leaving the device."""
+    import jax
+
+    from openbts_ttsou_tpu.ops import gmsk
+
+    @jax.jit
+    def scan(bsic, t1, t2, t3p):
+        burst = l1fec.sch_encode(bsic, t1, t2, t3p)
+        wave = gmsk.modulate_burst(burst, 1)
+        soft = gmsk.demodulate_burst(
+            wave, 1, jnp.ones(burst.shape[:-1], jnp.complex64),
+            jnp.zeros(burst.shape[:-1], jnp.float32))
+        return l1fec.sch_decode(soft)
+
+    fields, ok = scan(jnp.asarray([21, 5]), jnp.asarray([1024, 2047]),
+                      jnp.asarray([12, 0]), jnp.asarray([3, 7]))
+    assert np.asarray(ok).all()
+    np.testing.assert_array_equal(np.asarray(fields["bsic"]), [21, 5])
+    np.testing.assert_array_equal(np.asarray(fields["t1"]), [1024, 2047])
+    np.testing.assert_array_equal(np.asarray(fields["t2"]), [12, 0])
+    np.testing.assert_array_equal(np.asarray(fields["t3p"]), [3, 7])

@@ -225,3 +225,185 @@ def test_full_duplex_fec_on_device():
     bits = np.asarray(dec.bits)
     assert ok.all(), f"undecoded blocks at {np.argwhere(~ok)[:4]}"
     assert np.array_equal(bits, frames184)
+
+
+def test_decode_block_tch_facch_matches_host():
+    """The fused TCH/FS + FACCH decode (decode_block) reproduces the
+    host TCHFACCHL1 path (TCHFACCHL1Decoder, GSML1FEC.cpp:1031-1175):
+    same vocoder frames, same FACCH frames, same stealing flags."""
+    from openbts_ttsou_tpu.gsm import channels, gsm610, tdma
+    from openbts_ttsou_tpu.gsm.transfer import L2Frame, RxBurst
+    from openbts_ttsou_tpu.models.transceiver import decode_block
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(11)
+    tn = 2
+    tx = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF, tdma.FACCH_TCHF, tsc=0)
+    tx.open(0)
+    tx.resync(0)
+
+    facch_l2 = rng.integers(0, 2, 184).astype(np.uint8)
+    payloads = [rng.integers(0, 2, 260).astype(np.uint8) for _ in range(3)]
+    tx.send_l2(L2Frame(facch_l2))  # half-block 0: stolen (FACCH)
+    for pl in payloads:
+        tx.send_tch(pl)  # half-blocks 1..3: speech
+    for _ in range(4):
+        tx.dispatch_block()
+
+    bursts = {b.fn: b.bits for b in tx.tx_queue}
+    fn_first = min(bursts)
+    frames = 13
+
+    # host decode
+    rx = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF, tdma.FACCH_TCHF, tsc=0)
+    rx.open(0)
+    facch_rx = []
+
+    class _Rec:
+        def write_low_side(self, frame):
+            facch_rx.append(np.asarray(frame.bits))
+
+    rx.upstream = _Rec()
+    for f in range(frames):
+        fn = fn_first + f
+        if fn in bursts:
+            rx.write_low_side(RxBurst(bursts[fn].astype(np.float32), fn, tn))
+
+    # fused decode on a synthetic 1-channel RxResult window
+    soft = np.full((frames, 1, 8, 148), 0.5, np.float32)
+    det = np.zeros((frames, 1, 8), bool)
+    for f in range(frames):
+        fn = fn_first + f
+        if fn in bursts:
+            soft[f, 0, tn] = bursts[fn]
+            det[f, 0, tn] = True
+    res = eng.RxResult(
+        detected=jnp.asarray(det), is_rach=jnp.zeros_like(jnp.asarray(det)),
+        soft_bits=jnp.asarray(soft),
+        rssi=jnp.zeros((frames, 1, 8), jnp.int32),
+        timing=jnp.zeros((frames, 1, 8), jnp.int32))
+    dec = decode_block(res, jnp.asarray(fn_first), frames)
+
+    valid = np.asarray(dec.tch_valid)
+    assert valid.sum() == 2  # two complete half-blocks in 13 frames
+    ends = np.asarray(dec.tch_end_fn)[valid]
+
+    # group 0 = the stolen FACCH block
+    g0 = np.flatnonzero(valid)[0]
+    assert bool(np.asarray(dec.tch_stolen)[g0, 0, tn])
+    assert bool(np.asarray(dec.facch_ok)[g0, 0, tn])
+    assert not bool(np.asarray(dec.tch_good)[g0, 0, tn])
+    from openbts_ttsou_tpu.gsm import l1fec
+
+    got_l2 = np.asarray(l1fec.lsb8msb(np.asarray(dec.facch_bits)[g0, 0, tn]))
+    np.testing.assert_array_equal(got_l2, facch_l2)
+    assert len(facch_rx) == 1 and np.array_equal(facch_rx[0], facch_l2)
+
+    # group 1 = the first speech block
+    g1 = np.flatnonzero(valid)[1]
+    assert not bool(np.asarray(dec.tch_stolen)[g1, 0, tn])
+    assert bool(np.asarray(dec.tch_good)[g1, 0, tn])
+    assert not bool(np.asarray(dec.facch_ok)[g1, 0, tn])
+    want_d = gsm610.payload_to_coder(payloads[0])
+    np.testing.assert_array_equal(
+        np.asarray(dec.tch_speech)[g1, 0, tn], want_d)
+    # host heard the same frame (speech_out is payload order)
+    assert len(rx.speech_out) >= 1
+    np.testing.assert_array_equal(rx.speech_out[0], payloads[0])
+
+    # the completing-burst FNs agree with the host mapping
+    for fn_end in ends:
+        b = tdma.FACCH_TCHF.reverse(int(fn_end) % 26)
+        assert b is not None and b % 4 == 3
+
+    # inactive (chan, slot) entries decode to not-good
+    assert not np.asarray(dec.tch_good)[:, 0, 0].any()
+    assert not np.asarray(dec.facch_ok)[:, 0, 0].any()
+
+
+def test_decode_block_tch_all_phases():
+    """The static group tables cover every window phase fn0 % 26: each
+    group's completing burst is a real B%4==3 TCH frame and all eight
+    member frames are in-window TCH frames in diagonal order."""
+    from openbts_ttsou_tpu.gsm import tdma
+    from openbts_ttsou_tpu.models.transceiver import _tch_group_tables
+
+    frames = 13
+    idx, end, valid = _tch_group_tables(frames)
+    assert idx.shape[0] == 26
+    for p in range(26):
+        for g in range(idx.shape[1]):
+            if not valid[p, g]:
+                continue
+            fr = idx[p, g]
+            assert fr[-1] == end[p, g]
+            bs = []
+            for f in fr:
+                r = tdma.FACCH_TCHF.reverse((p + int(f)) % 26)
+                assert r is not None
+                bs.append(r % 8)
+            assert bs[-1] % 4 == 3
+            # consecutive diagonal indices mod 8
+            for a, b in zip(bs, bs[1:]):
+                assert (b - a) % 8 == 1
+        # at least one group for every phase in a 13-frame window
+        assert valid[p].any()
+
+
+def test_uplink_block_decoded_tch_over_the_air():
+    """Over-the-air fused voice receive: host-encoded TCH/FS + FACCH
+    bursts → GMSK modulate → 96/65 → 65/96 → detection/demod → 8-burst
+    diagonal deinterleave + Viterbi + class-1a parity, all in ONE
+    uplink_block_decoded program. The [Gt, C, 8, 260] vocoder output
+    matches the transmitted frames."""
+    from openbts_ttsou_tpu.gsm import channels, gsm610, l1fec, tdma
+    from openbts_ttsou_tpu.gsm.transfer import L2Frame
+    from openbts_ttsou_tpu.models.transceiver import uplink_block_decoded
+
+    rng = np.random.default_rng(23)
+    tn = 2
+    tx = channels.TCHFACCHL1(tn, tdma.FACCH_TCHF, tdma.FACCH_TCHF, tsc=0)
+    tx.open(0)
+    tx.resync(0)
+    facch_l2 = rng.integers(0, 2, 184).astype(np.uint8)
+    payloads = [rng.integers(0, 2, 260).astype(np.uint8) for _ in range(3)]
+    tx.send_l2(L2Frame(facch_l2))
+    for pl in payloads:
+        tx.send_tch(pl)
+    for _ in range(4):
+        tx.dispatch_block()
+    bursts = {b.fn: b.bits for b in tx.tx_queue}
+    fn0 = min(bursts)
+
+    cfg = TrxConfig(n_chan=1)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, tn] = ChanType.I
+    state = init_state(cfg)._replace(
+        chan_type=jnp.asarray(chan_type),
+        fn=jnp.asarray(np.int32(fn0)))
+
+    sym = np.zeros((1, spec.block_symbols), np.complex64)
+    slot_off = [0, 157, 313, 469, 625, 782, 938, 1094][tn]
+    for f in range(13):
+        fn = fn0 + f
+        if fn in bursts:
+            wave = 9000.0 * np.asarray(
+                gmsk.modulate_burst(bursts[fn][None], 1))[0]
+            sym[0, f * 1250 + slot_off: f * 1250 + slot_off + 148] += wave
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
+    dev = jnp.asarray(dev[:, : spec.block_in])
+
+    st, res, dec = uplink_block_decoded(cfg, spec, state, dev)
+    valid = np.asarray(dec.tch_valid)
+    assert valid.sum() == 2
+    g0, g1 = np.flatnonzero(valid)[:2]
+    assert bool(np.asarray(dec.tch_stolen)[g0, 0, tn])
+    assert bool(np.asarray(dec.facch_ok)[g0, 0, tn])
+    got_l2 = np.asarray(l1fec.lsb8msb(np.asarray(dec.facch_bits)[g0, 0, tn]))
+    np.testing.assert_array_equal(got_l2, facch_l2)
+    assert bool(np.asarray(dec.tch_good)[g1, 0, tn])
+    np.testing.assert_array_equal(
+        np.asarray(dec.tch_speech)[g1, 0, tn],
+        gsm610.payload_to_coder(payloads[0]))
