@@ -59,6 +59,36 @@ import os
 
 CONV_IMPL = os.environ.get("OPENBTS_TPU_CONV")  # None → auto
 
+# Resampler backend: "xla" (the mm filter-bank path) or "pallas" (the
+# VMEM slab kernel in ops/pallas_fir.py). "auto" follows the round-2
+# bake-off on TPU v5 lite (tools/kernel_bakeoff.py; table in
+# ARCHITECTURE.md): pallas wins only at small batch (≤64 rows), XLA
+# everywhere else.
+RESAMPLE_IMPL = os.environ.get("OPENBTS_TPU_RESAMPLE")  # None → auto
+_PALLAS_RESAMPLE_MAX_BATCH = 64
+
+
+def _resample_use_pallas(x, q: int) -> bool:
+    """Measured-fastest dispatch for `polyphase_resample` (method='mm')."""
+    if RESAMPLE_IMPL == "xla":
+        return False
+    if q > 128:  # the kernel's q-row lane layout needs q ≤ one lane tile
+        return False
+    if RESAMPLE_IMPL == "pallas":
+        return True
+    # auto: pallas only wins on TPU at small batch (bake-off table)
+    try:
+        import jax as _jax
+
+        if _jax.default_backend() == "cpu":
+            return False
+    except Exception:
+        return False
+    batch = 1
+    for d in x.shape[:-1]:
+        batch *= int(d)
+    return batch <= _PALLAS_RESAMPLE_MAX_BATCH
+
 
 def _conv_impl() -> str:
     if CONV_IMPL in ("conv", "einsum"):
@@ -392,6 +422,20 @@ def polyphase_resample(x: Array, p: int, q: int, lpf: Array, *,
     cross-checking).
     """
     if method == "mm":
+        if _resample_use_pallas(x, q):
+            from openbts_ttsou_tpu.ops.pallas_fir import (
+                polyphase_resample_pallas,
+            )
+
+            try:
+                import jax as _jax
+
+                interpret = _jax.default_backend() == "cpu"
+            except Exception:
+                interpret = True
+            return polyphase_resample_pallas(x, p, q, np.asarray(lpf),
+                                             x_real=x_real,
+                                             interpret=interpret)
         return polyphase_resample_mm(x, p, q, lpf, x_real=x_real)
     x2, lead = _as_2d(jnp.asarray(x))
     lpf = jnp.asarray(lpf)

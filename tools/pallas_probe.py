@@ -41,7 +41,6 @@ def main():
     import jax
 
     from openbts_ttsou_tpu.ops import fir
-    from openbts_ttsou_tpu.ops.pallas_correlate import windowed_correlate
     from openbts_ttsou_tpu.ops.pallas_fir import polyphase_resample_pallas
     from openbts_ttsou_tpu.utils.xfer import device_get_safe, device_put_safe
 
@@ -69,30 +68,6 @@ def main():
                       "ok": err_pl < max(2 * err_xla, 1e-5),
                       "device": str(jax.devices()[0])}))
 
-    # windowed correlation: truth by direct numpy lag loop
-    xc = (rng.standard_normal((16, 157))
-          + 1j * rng.standard_normal((16, 157))).astype(np.complex64)
-    t = (rng.standard_normal((2, 16))
-         + 1j * rng.standard_normal((2, 16))).astype(np.complex64)
-    start, n_lags = 50, 21
-    # out[b, w, k] = sum_u x[b, start + w + u] * t[k, u]
-    idx = (np.arange(n_lags)[:, None] + np.arange(t.shape[-1])) + start
-    truth = np.einsum("bwl,kl->bwk", xc[:, idx].astype(np.complex128),
-                      t.astype(np.complex128))
-    scale = float(np.max(np.abs(truth)))
-    xcd, td = device_put_safe(xc), device_put_safe(t)
-    xla = device_get_safe(jax.jit(
-        lambda a, b: windowed_correlate(a, b, start, n_lags))(xcd, td))
-    got = device_get_safe(jax.jit(
-        lambda a, b: windowed_correlate(
-            a, b, start, n_lags,
-            method="pallas" if on_tpu else "interpret"))(xcd, td))
-    err_pl = float(np.max(np.abs(truth - got))) / scale
-    err_xla = float(np.max(np.abs(truth - xla))) / scale
-    print(json.dumps({"kernel": "pallas_windowed_correlate",
-                      "rel_err_pallas": err_pl, "rel_err_xla": err_xla,
-                      "ok": err_pl < max(2 * err_xla, 1e-5),
-                      "device": str(jax.devices()[0])}))
 
 
 if __name__ == "__main__":
