@@ -153,6 +153,50 @@ def test_rx_step_quiet_lowers_threshold_after_50_frames():
     assert int(np.asarray(state2.prev_false_detect_fn)[0]) == 100
 
 
+def test_threshold_storm_climbs_then_recovers():
+    """Adaptive-threshold convergence over a false-alarm storm
+    (Transceiver.cpp:294-303, 350-356, 366-375): sustained noise just
+    above the energy gate raises the threshold by 10·e^(−Δframes) per
+    miss until the gate closes (no more false alarms); ≥50 quiet frames
+    later the threshold steps back down by 10 per quiet slot."""
+    cfg = TrxConfig(n_chan=1)
+    state = init_state(cfg)
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 3] = ChanType.I
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+
+    # the energy gate statistic is the mean power of the first 20
+    # samples (energyDetect window); normalize the noise so that
+    # statistic is 283² — above the initial 250 threshold but low
+    # enough that the climb self-extinguishes within the storm
+    rng = np.random.default_rng(77)
+    slot = (rng.standard_normal(SLOT_SAMPLES)
+            + 1j * rng.standard_normal(SLOT_SAMPLES)).astype(np.complex64)
+    gate_rms = np.sqrt(np.mean(np.abs(slot[:20]) ** 2))
+    slot *= 283.0 / gate_rms
+    frame = np.zeros((1, 8, SLOT_SAMPLES), np.complex64)
+    frame[0, 3] = slot
+    frame = jnp.asarray(frame)
+
+    thr_hist = [250.0]
+    for _ in range(40):
+        state, _ = rx_step(cfg, state, frame)
+        thr_hist.append(float(np.asarray(state.energy_threshold)[0]))
+    # the threshold climbed past the gate statistic and then froze (the
+    # energy gate now rejects the storm — recovery part 1)
+    assert thr_hist[-1] > 283.0
+    assert thr_hist[-1] == pytest.approx(thr_hist[-2])
+
+    # silence: jump >50 frames between steps so each quiet slot fires
+    # the −10 step (recovery part 2); the threshold walks back down
+    quiet = jnp.zeros((1, 8, SLOT_SAMPLES), jnp.complex64)
+    for _ in range(8):
+        state = state._replace(fn=jnp.asarray(int(state.fn) + 60,
+                                              jnp.int32))
+        state, _ = rx_step(cfg, state, quiet)
+    assert float(np.asarray(state.energy_threshold)[0]) <= 250.0
+
+
 def test_tx_step_modulates_and_fills():
     cfg = TrxConfig(n_chan=1)
     state = init_state(cfg)
