@@ -55,6 +55,11 @@ def load_runtime() -> ctypes.CDLL:
         lib.ring_end_ts.restype = ctypes.c_int64
         lib.ring_start_ts.argtypes = [ctypes.c_void_p]
         lib.ring_start_ts.restype = ctypes.c_int64
+        lib.ring_write_packets.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                           ctypes.c_int64, ctypes.c_void_p]
+        lib.ring_write_packets.restype = ctypes.c_int64
+        lib.ring_last_pkt_ts.argtypes = [ctypes.c_void_p]
+        lib.ring_last_pkt_ts.restype = ctypes.c_int64
         lib.bpq_create.argtypes = [ctypes.c_size_t]
         lib.bpq_create.restype = ctypes.c_void_p
         lib.bpq_destroy.argtypes = [ctypes.c_void_p]
@@ -154,6 +159,23 @@ class SampleRing:
         out, _ = self.read(n, ts)
         return (out[:, 0].astype(np.float32)
                 + 1j * out[:, 1].astype(np.float32)).astype(np.complex64)
+
+    def write_packets(self, pkts: bytes) -> tuple[int, bool, int, int]:
+        """Reassemble USRP-format 512-byte packets into the ring with
+        32→64-bit timestamp extension (USRPDevice::readSamples,
+        Transceiver52M/USRPDevice.cpp:318-410). Returns (samples
+        written, underrun flag seen, last RSSI field, non-data packets
+        skipped)."""
+        flags = (ctypes.c_int32 * 3)()
+        n = int(self._lib.ring_write_packets(
+            self._r, pkts, len(pkts), flags))
+        return n, bool(flags[0]), int(flags[1]), int(flags[2])
+
+    @property
+    def last_pkt_ts(self) -> int:
+        """Latest extended (64-bit) packet timestamp, −1 before the
+        first packet."""
+        return int(self._lib.ring_last_pkt_ts(self._r))
 
     @property
     def end_ts(self) -> int:

@@ -33,6 +33,87 @@ def test_sample_ring_gap_zero_fill():
     np.testing.assert_array_equal(out[30:], 2)
 
 
+def _usrp_packet(ts32: int, iq: np.ndarray, chan: int = 0,
+                 underrun: bool = False, rssi: int = 0) -> bytes:
+    """Build one 512-byte USRP-format packet (header layout per
+    USRPDevice::readSamples, Transceiver52M/USRPDevice.cpp:349-386)."""
+    iq = np.ascontiguousarray(iq, np.int16)
+    payload = iq.tobytes()
+    assert len(payload) <= 504
+    word0 = (len(payload) & 0x1FF) | ((chan & 0x1F) << 16) | \
+        ((rssi & 0x3F) << 21) | ((0x4 << 28) if underrun else 0)
+    pkt = word0.to_bytes(4, "little") + \
+        (ts32 & 0xFFFFFFFF).to_bytes(4, "little") + payload
+    return pkt + b"\x00" * (512 - len(pkt))
+
+
+def test_sample_ring_packet_reassembly():
+    ring = SampleRing(1 << 12)
+    a = np.tile([[1, -1]], (126, 1)).astype(np.int16)
+    b = np.tile([[2, -2]], (126, 1)).astype(np.int16)
+    pkts = _usrp_packet(1000, a) + _usrp_packet(1126, b)
+    n, underrun, rssi, skipped = ring.write_packets(pkts)
+    assert n == 252 and not underrun and skipped == 0
+    out, got = ring.read(252, 1000)
+    assert got == 252
+    np.testing.assert_array_equal(out[:126], a)
+    np.testing.assert_array_equal(out[126:], b)
+    assert ring.last_pkt_ts == 1126
+
+
+def test_sample_ring_packet_flags_and_channels():
+    ring = SampleRing(1 << 12)
+    data = np.ones((126, 2), np.int16)
+    pkts = (_usrp_packet(0, data, rssi=17)
+            + _usrp_packet(500, data[:4], chan=0x1F)  # control reply
+            + _usrp_packet(126, data, underrun=True, rssi=9))
+    n, underrun, rssi, skipped = ring.write_packets(pkts)
+    assert n == 252  # control packet carries no ring data
+    assert underrun and rssi == 9 and skipped == 1
+
+
+def test_sample_ring_32bit_timestamp_wraparound():
+    """The device timestamp counter is 32-bit; the ring extends it to
+    64 bits by bumping hi32 whenever low-32 goes backwards
+    (USRPDevice.cpp:358-363). Samples written across the wrap must
+    land contiguously in 64-bit time."""
+    ring = SampleRing(1 << 12)
+    wrap = 1 << 32
+    a = np.tile([[3, -3]], (126, 1)).astype(np.int16)
+    b = np.tile([[4, -4]], (126, 1)).astype(np.int16)
+    c = np.tile([[5, -5]], (126, 1)).astype(np.int16)
+    ts0 = wrap - 200  # low-32 = 0xFFFFFF38
+    pkts = (_usrp_packet(ts0 & 0xFFFFFFFF, a)
+            + _usrp_packet((ts0 + 126) & 0xFFFFFFFF, b)   # crosses 2^32
+            + _usrp_packet((ts0 + 252) & 0xFFFFFFFF, c))  # post-wrap
+    n, _, _, _ = ring.write_packets(pkts)
+    assert n == 378
+    # the second packet starts pre-wrap (low-32 still huge): no bump
+    # yet; the third packet's low-32 (52) < previous → hi32 = 1
+    assert ring.last_pkt_ts == wrap + 52
+    assert ring.end_ts == ts0 + 378  # contiguous across the boundary
+    out, got = ring.read(378, ts0)
+    assert got == 378
+    np.testing.assert_array_equal(out[:126], a)
+    np.testing.assert_array_equal(out[126:252], b)
+    np.testing.assert_array_equal(out[252:], c)
+
+
+def test_sample_ring_wrap_with_control_packet_between():
+    """hi32 extension follows every packet (control replies included),
+    so a chan-0x1F packet straddling the wrap still advances hi32."""
+    ring = SampleRing(1 << 12)
+    wrap = 1 << 32
+    data = np.ones((126, 2), np.int16)
+    pkts = (_usrp_packet(wrap - 126, data)          # pre-wrap data
+            + _usrp_packet(10, data[:4], chan=0x1F)  # post-wrap control
+            + _usrp_packet(50, data))                # post-wrap data
+    n, _, _, skipped = ring.write_packets(pkts)
+    assert n == 252 and skipped == 1
+    assert ring.last_pkt_ts == wrap + 50
+    assert ring.end_ts == wrap + 50 + 126
+
+
 def test_sample_ring_complex_and_stale():
     ring = SampleRing(256)
     x = (np.arange(64) + 1j * np.arange(64)).astype(np.complex64)
