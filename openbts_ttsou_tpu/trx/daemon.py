@@ -77,6 +77,7 @@ class TrxDaemon:
         self.fn = cfg.start_fn  # receive-side frame clock
         self.tx_fn = cfg.start_fn + cfg.tx_latency_frames
         self.underruns = 0
+        self.stale_dumped = 0  # bursts dropped past their deadline
         self.clock_lead = proto.CLOCK_LEAD_FRAMES
         self.last_clock_fn: Optional[int] = None
         # native priority queue of pending downlink bursts keyed by
@@ -195,6 +196,10 @@ class TrxDaemon:
         receive fn. Returns (carrier, burst) uplink tuples."""
         n, sps = self.cfg.n_arfcn, self.cfg.sps
         # ---- downlink (driveTransmitFIFO + pushRadioVector) ----------
+        # drop bursts whose deadline already passed; the engine's filler
+        # table covers the slot instead (stale-burst dump,
+        # Transceiver.cpp:144-154)
+        self.stale_dumped += self.pending_tx.dump_stale(self.tx_fn)
         bits = np.zeros((n, 8, 148), np.uint8)
         valid = np.zeros((n, 8), bool)
         atten = np.zeros((n, 8), np.float32)
