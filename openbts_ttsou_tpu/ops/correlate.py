@@ -350,6 +350,14 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     # correlation, then slide a 6-symbol window over 7 candidate
     # positions, keeping the last window whose energy exceeds 95% of the
     # running max (the reference loop's exact tie-break).
+    #
+    # Gather-free window extraction: the candidate start indices
+    # floor(toa_offset) + (i−5)·sps only span a small STATIC range (the
+    # 8 template TOAs are trace-time constants), so the per-burst
+    # windows come from a one-hot contraction against statically-sliced
+    # shifted copies — never a take_along_axis over the burst batch
+    # (TPU gathers run element-at-a-time; this path measured ~190 ms of
+    # a 234 ms block at 1024 carriers before the rewrite).
     from openbts_ttsou_tpu.ops.gmsk import delay_vector
 
     toa_offset = jnp.broadcast_to(
@@ -359,11 +367,30 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     # window starts: floor(toa_offset + (i−5)*sps), i = 0..6
     starts = jnp.floor(toa_offset[..., None]).astype(jnp.int32) \
         + (jnp.arange(7) - 5) * sps
-    tap_idx = starts[..., :, None] + jnp.arange(nw)  # [..., 7, nw]
     in_range = (starts >= 0) & (starts + nw <= t)  # [..., 7]
-    wins = jnp.take_along_axis(
-        jnp.broadcast_to(corr_d, lead + (t,))[..., None, :].repeat(7, axis=-2),
-        jnp.clip(tap_idx, 0, t - 1), axis=-1)
+    # static bound on every possible start value
+    all_offs = toas + TSC_SEGMENT_OFFSET * sps  # [8] trace-time consts
+    v_lo = int(np.floor(all_offs.min())) - 5 * sps
+    v_hi = int(np.floor(all_offs.max())) + 1 * sps
+    v_vals = np.arange(v_lo, v_hi + 1)  # [V]
+    # shifted copies corr_pad[..., v + u] for u < nw, clamped in-range
+    pad_l = max(0, -v_lo)
+    pad_r = max(0, v_hi + nw - t)
+    pad = [(0, 0)] * (corr_d.ndim - 1) + [(pad_l, pad_r)]
+    corr_p = jnp.pad(corr_d, pad)
+    wins_v = jnp.stack(
+        [jax.lax.slice_in_dim(corr_p, pad_l + v, pad_l + v + nw, axis=-1)
+         for v in v_vals.tolist()], axis=-2)  # [..., V, nw]
+    onehot = (starts[..., :, None] ==
+              jnp.asarray(v_vals)).astype(jnp.float32)  # [..., 7, V]
+    wins_v = jnp.broadcast_to(wins_v, lead + wins_v.shape[-2:])
+    wins = (jnp.einsum("...iv,...vu->...iu", onehot,
+                       jnp.real(wins_v),
+                       precision=jax.lax.Precision.HIGHEST)
+            + 1j * jnp.einsum("...iv,...vu->...iu", onehot,
+                              jnp.imag(wins_v),
+                              precision=jax.lax.Precision.HIGHEST)
+            ).astype(jnp.complex64)  # [..., 7, nw]
     energies = jnp.where(in_range,
                          jnp.sum(jnp.abs(wins) ** 2, axis=-1), -jnp.inf)
 
@@ -379,8 +406,13 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     for i in range(7):
         max_e, max_i = body(i, (max_e, max_i))
 
-    chan = jnp.take_along_axis(wins, max_i[..., None, None].astype(jnp.int32)
-                               % 7, axis=-2)[..., 0, :]
+    pick_i = (jnp.arange(7) == (max_i % 7)[..., None]
+              ).astype(jnp.float32)  # [..., 7]
+    chan = (jnp.einsum("...i,...iu->...u", pick_i, jnp.real(wins),
+                       precision=jax.lax.Precision.HIGHEST)
+            + 1j * jnp.einsum("...i,...iu->...u", pick_i, jnp.imag(wins),
+                              precision=jax.lax.Precision.HIGHEST)
+            ).astype(jnp.complex64)
     chan = chan / (gain[..., None] if gain.ndim else gain)
     # offset = 5·sps − maxI (sigProcLib.cpp:1029, exact formula)
     chan_offset = (5 * sps - max_i).astype(jnp.float32)

@@ -52,28 +52,83 @@ class ShortMsgState(enum.IntEnum):
 
 INITIAL_STATE = ShortMsgState.RequestFromAddressLookup
 
-#: state → (timeout seconds, state entered when the timeout fires)
-#: — the reference's `timeouts_*` tables (smqueue.cpp:46-120) condensed
-#: to the transitions the daemon takes.
-STATE_TIMEOUTS: Dict[ShortMsgState, tuple[float, ShortMsgState]] = {
+# The reference's full per-(from-state, to-state) timeout table
+# (smqueue.cpp:46-120), transcribed one-for-one. TIMEOUTS[a][b] is the
+# timeout (seconds) armed when a message moves from state a to state b;
+# NT = "no timeout" (only fires if something is really broken), RT =
+# "retry" (start over from scratch after an error).
+NT = 6000
+RT = 600
+#           NS  RF  AF   WD  RD  AD   WS  RS  AS   WM  RM  AM   DM   WR  RH  AR
+TIMEOUTS: tuple = (
+    (NT,  0, NT,  NT,  0, NT,  NT,  0, NT,  NT,  0, NT,   0,  NT, NT, NT),  # NoState
+    (0,  10, 10,  NT,  0, NT,  NT, NT, NT,  NT, NT, NT,   0,   1,  0, NT),  # RequestFromAddressLookup
+    (0,  60, NT,  NT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,  NT, NT, NT),  # AskedForFromAddressLookup
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,  NT, NT, NT),  # AwaitingTryDestinationImsi
+    (0,  RT, NT,  RT, NT, NT,  NT,  0, NT,  NT, NT, NT,   0,  NT, NT, NT),  # RequestDestinationImsi
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,  NT, NT, NT),  # AskedForDestinationImsi
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,  NT, NT, NT),  # AwaitingTryDestinationSipUrl
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  NT,  0, NT,   0,  NT, NT, NT),  # RequestDestinationSipUrl
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,  NT, NT, NT),  # AskedForDestinationSipUrl
+    (0,  RT, NT,  RT, NT, NT,  NT, NT, NT,  75,  0, NT,   0,  NT, NT, NT),  # AwaitingTryMsgDelivery
+    (0,  RT, NT,  RT, NT, NT,  NT, 75, NT,  75, 75, 15,   0,  NT, NT, NT),  # RequestMsgDelivery
+    (0,  RT, NT,  NT, NT, NT,  NT, NT, NT,  60, 10, NT,   0,  NT, NT, NT),  # AskedForMsgDelivery
+    (0,   0,  0,   0,  0,  0,   0,  0,  0,   0,  0,  0,   0,   0,  0,  0),  # DeleteMeState
+    (0,   0, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,   1,  0, NT),  # AwaitingRegisterHandset
+    (0,   0, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,   1,  1,  2),  # RegisterHandset
+    (0,   0, NT,  RT, NT, NT,  NT, NT, NT,  NT, NT, NT,   0,   1,  1, 10),  # AskedToRegisterHandset
+)
+assert len(TIMEOUTS) == 16 and all(len(r) == 16 for r in TIMEOUTS)
+
+#: state → state entered when its timer fires ("ASKED_*" waits fall
+#: back to the matching "REQUEST_*" retry, the reference handlers'
+#: timeout actions).
+TIMEOUT_NEXT_STATE: Dict[ShortMsgState, ShortMsgState] = {
     ShortMsgState.AskedForFromAddressLookup:
-        (10.0, ShortMsgState.RequestFromAddressLookup),
+        ShortMsgState.RequestFromAddressLookup,
     ShortMsgState.AwaitingTryDestinationImsi:
-        (30.0, ShortMsgState.RequestDestinationImsi),
+        ShortMsgState.RequestDestinationImsi,
     ShortMsgState.AskedForDestinationImsi:
-        (10.0, ShortMsgState.RequestDestinationImsi),
+        ShortMsgState.RequestDestinationImsi,
     ShortMsgState.AwaitingTryDestinationSipUrl:
-        (30.0, ShortMsgState.RequestDestinationSipUrl),
+        ShortMsgState.RequestDestinationSipUrl,
     ShortMsgState.AskedForDestinationSipUrl:
-        (10.0, ShortMsgState.RequestDestinationSipUrl),
+        ShortMsgState.RequestDestinationSipUrl,
     ShortMsgState.AwaitingTryMsgDelivery:
-        (30.0, ShortMsgState.RequestMsgDelivery),
+        ShortMsgState.RequestMsgDelivery,
     ShortMsgState.AskedForMsgDelivery:
-        (30.0, ShortMsgState.RequestMsgDelivery),
+        ShortMsgState.RequestMsgDelivery,
     ShortMsgState.AwaitingRegisterHandset:
-        (30.0, ShortMsgState.RegisterHandset),
+        ShortMsgState.RegisterHandset,
     ShortMsgState.AskedToRegisterHandset:
-        (10.0, ShortMsgState.RegisterHandset),
+        ShortMsgState.RegisterHandset,
+}
+
+#: Back-compat view of the old condensed table: state → (timeout from
+#: the canonical predecessor, timeout-fallback state).
+_CANONICAL_FROM: Dict[ShortMsgState, ShortMsgState] = {
+    ShortMsgState.AskedForFromAddressLookup:
+        ShortMsgState.RequestFromAddressLookup,
+    ShortMsgState.AwaitingTryDestinationImsi:
+        ShortMsgState.AskedForFromAddressLookup,
+    ShortMsgState.AskedForDestinationImsi:
+        ShortMsgState.RequestDestinationImsi,
+    ShortMsgState.AwaitingTryDestinationSipUrl:
+        ShortMsgState.AskedForDestinationImsi,
+    ShortMsgState.AskedForDestinationSipUrl:
+        ShortMsgState.RequestDestinationSipUrl,
+    ShortMsgState.AwaitingTryMsgDelivery:
+        ShortMsgState.RequestMsgDelivery,
+    ShortMsgState.AskedForMsgDelivery:
+        ShortMsgState.RequestMsgDelivery,
+    ShortMsgState.AwaitingRegisterHandset:
+        ShortMsgState.RequestFromAddressLookup,
+    ShortMsgState.AskedToRegisterHandset:
+        ShortMsgState.RegisterHandset,
+}
+STATE_TIMEOUTS: Dict[ShortMsgState, tuple[float, ShortMsgState]] = {
+    st: (float(TIMEOUTS[frm][st]), TIMEOUT_NEXT_STATE[st])
+    for st, frm in _CANONICAL_FROM.items()
 }
 
 
@@ -99,10 +154,20 @@ class ShortMsg:
     dest_url: str = dataclasses.field(compare=False, default="")
 
     def set_state(self, st: ShortMsgState, now: float) -> None:
+        """Enter `st`, arming the reference's transition timeout
+        TIMEOUTS[old][new] (smqueue.cpp set_state_and_timeout idiom).
+        Where the reference marks the transition NT (our async-lookup
+        graph takes a few edges its synchronous HLR path never did),
+        fall back to the condensed per-state wait; REQUEST_*/terminal
+        states stay immediately actionable."""
+        t2d = TIMEOUTS[self.state][st]
         self.state = st
-        timeout = STATE_TIMEOUTS.get(st)
-        # REQUEST_*/terminal states are immediately actionable
-        self.next_action_time = now + (timeout[0] if timeout else 0.0)
+        if t2d != NT:
+            self.next_action_time = now + float(t2d)
+        elif st in STATE_TIMEOUTS:
+            self.next_action_time = now + STATE_TIMEOUTS[st][0]
+        else:
+            self.next_action_time = now
 
 
 class SMq:
@@ -294,7 +359,7 @@ class SMq:
                 if msg.retries > self.MAX_RETRIES:
                     self._bounce(msg, now)
                     continue
-                msg.set_state(STATE_TIMEOUTS[st][1], now)
+                msg.set_state(TIMEOUT_NEXT_STATE[st], now)
                 requeue.append(msg)
 
             elif st == ShortMsgState.DeleteMeState:

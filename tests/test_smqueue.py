@@ -41,6 +41,40 @@ def test_state_set_matches_reference():
         assert nxt.name.startswith(("Request", "RegisterHandset"))
 
 
+def test_timeout_table_matches_reference():
+    """Spot-audit of the full 16×16 transition-timeout table against
+    the reference values (smqueue.cpp:46-120; NT=6000, RT=600)."""
+    from openbts_ttsou_tpu.smqueue.queue import NT, RT, TIMEOUTS
+
+    S = ShortMsgState
+    assert NT == 6000 and RT == 600
+    # RequestFromAddressLookup row: →AF 10, →WR 1, →RH 0
+    assert TIMEOUTS[S.RequestFromAddressLookup][
+        S.AskedForFromAddressLookup] == 10
+    assert TIMEOUTS[S.RequestFromAddressLookup][
+        S.AwaitingRegisterHandset] == 1
+    assert TIMEOUTS[S.RequestFromAddressLookup][S.RegisterHandset] == 0
+    # AskedForFromAddressLookup: retry RF after 60 s
+    assert TIMEOUTS[S.AskedForFromAddressLookup][
+        S.RequestFromAddressLookup] == 60
+    # delivery cluster: RM→AM 15, RM→{WM,RM,RS} 75; AM→WM 60, AM→RM 10
+    assert TIMEOUTS[S.RequestMsgDelivery][S.AskedForMsgDelivery] == 15
+    assert TIMEOUTS[S.RequestMsgDelivery][S.AwaitingTryMsgDelivery] == 75
+    assert TIMEOUTS[S.RequestMsgDelivery][S.RequestMsgDelivery] == 75
+    assert TIMEOUTS[S.RequestMsgDelivery][S.RequestDestinationSipUrl] == 75
+    assert TIMEOUTS[S.AskedForMsgDelivery][S.AwaitingTryMsgDelivery] == 60
+    assert TIMEOUTS[S.AskedForMsgDelivery][S.RequestMsgDelivery] == 10
+    # registration cluster: RH→AR 2, AR→AR 10, WR→RH 0
+    assert TIMEOUTS[S.RegisterHandset][S.AskedToRegisterHandset] == 2
+    assert TIMEOUTS[S.AskedToRegisterHandset][
+        S.AskedToRegisterHandset] == 10
+    assert TIMEOUTS[S.AwaitingRegisterHandset][S.RegisterHandset] == 0
+    # DeleteMe row is all-zero; error retries go through RT
+    assert all(v == 0 for v in TIMEOUTS[S.DeleteMeState])
+    assert TIMEOUTS[S.AwaitingTryDestinationImsi][
+        S.RequestFromAddressLookup] == RT
+
+
 def test_submit_and_deliver(smq):
     m = smq.submit("1001", "2001", "hello")
     assert m.state == INITIAL_STATE
@@ -77,9 +111,14 @@ def test_delivery_timeout_retries(smq):
     now = time.monotonic() + 0.01
     drive(smq, now)
     assert len(smq._sent) == 1
-    # no ack → timeout → falls back to RequestMsgDelivery → resend
+    # no ack → timeout → falls back to RequestMsgDelivery, which the
+    # reference re-arms with a 10 s retry delay (TIMEOUTS[AM][RM] = 10,
+    # smqueue.cpp:83-84) → resend only after that delay passes
     timeout = STATE_TIMEOUTS[ShortMsgState.AskedForMsgDelivery][0]
-    drive(smq, now + timeout + 1, n=2)
+    drive(smq, now + timeout + 1)
+    assert m.state == ShortMsgState.RequestMsgDelivery
+    assert len(smq._sent) == 1  # retry delay still pending
+    drive(smq, now + timeout + 1 + 10 + 1, n=2)
     assert len(smq._sent) == 2
     assert m.retries == 1
     assert m.state == ShortMsgState.AskedForMsgDelivery
