@@ -42,20 +42,24 @@ def measure_mirror_baseline() -> float:
     return data["samples_per_s"]
 
 
-def measure_ref_baseline() -> float:
-    """The REAL reference sigProcLib chain, compiled from /root/reference
-    (bench/ref_bench.cpp): polyphaseResampleVector -> energyDetect ->
-    analyzeTrafficBurst -> demodulateBurst. Returns 0.0 if the reference
-    tree is unavailable (the mirror then stands in)."""
+def measure_ref_baseline() -> dict:
+    """The REAL reference sigProcLib chains, compiled from
+    /root/reference (bench/ref_bench.cpp): the uplink receive chain,
+    the downlink transmit chain, and the full duplex per-block work.
+    Returns {} if the reference tree is unavailable (the mirror then
+    stands in)."""
+    src = os.path.join(REPO, "bench", "ref_bench.cpp")
     if os.path.exists(REF_BASELINE_CACHE):
         with open(REF_BASELINE_CACHE) as f:
-            return json.load(f)["samples_per_s"]
+            cached = json.load(f)
+        if "samples_per_s_duplex" in cached:  # current harness rev
+            return cached
     if not os.path.isdir(os.path.join(REF_DIR, "Transceiver")):
-        return 0.0
+        return {}
     exe = os.path.join(REPO, "bench", "ref_bench")
-    src = os.path.join(REPO, "bench", "ref_bench.cpp")
     try:
-        if not os.path.exists(exe):
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-include", "unistd.h",
                  "-I" + os.path.join(REF_DIR, "CommonLibs"),
@@ -77,18 +81,21 @@ def measure_ref_baseline() -> float:
             if best is None or data["samples_per_s"] > best["samples_per_s"]:
                 best = data
     except (subprocess.CalledProcessError, OSError, json.JSONDecodeError):
-        return 0.0
+        return {}
     with open(REF_BASELINE_CACHE, "w") as f:
         json.dump(best, f)
-    return best["samples_per_s"]
+    return best
 
 
-def measure_cpu_baseline() -> tuple:
-    """Returns (baseline_sps, harness_name, mirror_sps)."""
+def measure_cpu_baseline(mode: str) -> tuple:
+    """Returns (baseline_sps, harness_name, mirror_sps) for the given
+    bench mode's chain (uplink modes / downlink / duplex)."""
     mirror = measure_mirror_baseline()
     ref = measure_ref_baseline()
-    if ref > 0.0:
-        return ref, "reference sigProcLib", mirror
+    key = {"downlink": "samples_per_s_downlink",
+           "duplex": "samples_per_s_duplex"}.get(mode, "samples_per_s")
+    if ref.get(key, 0.0) > 0.0:
+        return ref[key], "reference sigProcLib", mirror
     return mirror, "hand-written mirror", mirror
 
 
@@ -101,9 +108,10 @@ def main():
 
     n_chan = int(os.environ.get("BENCH_CHANNELS", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    mode = os.environ.get("BENCH_MODE", "fast")  # fast | exact | decoded
+    # fast | exact | decoded (uplink) | downlink | duplex
+    mode = os.environ.get("BENCH_MODE", "fast")
 
-    baseline_sps, baseline_harness, mirror_sps = measure_cpu_baseline()
+    baseline_sps, baseline_harness, mirror_sps = measure_cpu_baseline(mode)
 
     import jax
 
@@ -175,24 +183,83 @@ def main():
     # true synchronization).
     import jax.lax as lax
 
-    block_fn = {"fast": uplink_block_fast,
-                "exact": uplink_block,
-                "decoded": uplink_block_decoded}[mode]
+    if mode in ("downlink", "duplex"):
+        from openbts_ttsou_tpu.models.transceiver import (
+            RX_HALO_DEV,
+            TX_TAIL_SYM,
+            downlink_block,
+            duplex_block_wire,
+        )
 
-    def make_fused(length):
-        @jax.jit
-        def fused(state, samples):
-            def body(st, _):
-                out = block_fn(cfg, spec, st, samples)
-                st, res = out[0], out[1]
-                probe = jnp.sum(res.soft_bits[..., 0])
-                if mode == "decoded":  # include FEC output in the probe
-                    probe = probe + jnp.sum(out[2].bits[..., 0])
-                return st, (probe, jnp.sum(res.detected))
-            st, (probes, dets) = lax.scan(body, state, None,
-                                          length=length)
-            return jnp.sum(probes), jnp.sum(dets)
-        return fused
+        rng2 = np.random.default_rng(1)
+        dl_bits = jnp.asarray(rng2.integers(
+            0, 2, (spec.frames, n_chan, 8, 148)).astype(np.uint8))
+        dl_valid = jnp.asarray(np.ones((spec.frames, n_chan, 8), bool))
+        dl_atten = jnp.asarray(np.zeros((spec.frames, n_chan, 8),
+                                        np.float32))
+
+    if mode == "downlink":
+        def make_fused(length):
+            @jax.jit
+            def fused(state, samples):
+                del samples
+
+                def body(fn, _):
+                    tx = downlink_block(cfg, spec, state, dl_bits,
+                                        dl_valid, dl_atten, fn)
+                    return fn + spec.frames, (jnp.sum(jnp.real(tx[..., 0])),
+                                              jnp.sum(dl_valid))
+                _, (probes, dets) = lax.scan(
+                    body, jnp.asarray(0, jnp.int32), None, length=length)
+                return jnp.sum(probes), jnp.sum(dets)
+            return fused
+    elif mode == "duplex":
+        # uplink samples in the daemon's int16 ADC format, halo'd
+        ul_i16 = jax.jit(lambda s: jnp.clip(jnp.round(jnp.stack(
+            [jnp.real(s), jnp.imag(s)], -1)), -32767, 32767
+        ).astype(jnp.int16))(jnp.pad(
+            dev, ((0, 0), (RX_HALO_DEV, RX_HALO_DEV))))
+
+        def make_fused(length):
+            @jax.jit
+            def fused(state, samples):
+                del samples
+                tail0 = jnp.zeros((n_chan, TX_TAIL_SYM), jnp.complex64)
+
+                def body(carry, _):
+                    st, tail, fn = carry
+                    st2, tx, tail2, wire = duplex_block_wire(
+                        cfg, spec, st, ul_i16, tail, dl_bits, dl_valid,
+                        dl_atten, fn, True)
+                    probe = (jnp.sum(wire.soft_u8[..., 0].astype(
+                        jnp.int32)) + jnp.sum(tx[:, 0, :].astype(
+                            jnp.int32)))
+                    return (st2, tail2, fn + spec.frames), \
+                        (probe, jnp.sum(wire.detected))
+                carry, (probes, dets) = lax.scan(
+                    body, (state, tail0, jnp.asarray(0, jnp.int32)),
+                    None, length=length)
+                return jnp.sum(probes), jnp.sum(dets)
+            return fused
+    else:
+        block_fn = {"fast": uplink_block_fast,
+                    "exact": uplink_block,
+                    "decoded": uplink_block_decoded}[mode]
+
+        def make_fused(length):
+            @jax.jit
+            def fused(state, samples):
+                def body(st, _):
+                    out = block_fn(cfg, spec, st, samples)
+                    st, res = out[0], out[1]
+                    probe = jnp.sum(res.soft_bits[..., 0])
+                    if mode == "decoded":  # include FEC output
+                        probe = probe + jnp.sum(out[2].bits[..., 0])
+                    return st, (probe, jnp.sum(res.detected))
+                st, (probes, dets) = lax.scan(body, state, None,
+                                              length=length)
+                return jnp.sum(probes), jnp.sum(dets)
+            return fused
 
     # Two scan lengths, k and 2k: sps is computed from t(2k) − t(k),
     # which cancels ALL fixed per-dispatch costs (relay RTT, result
@@ -241,8 +308,11 @@ def main():
     except Exception:
         detected = -1  # relay D2H hiccup; timing is already measured
 
+    metric = {"downlink": "downlink_chain_throughput",
+              "duplex": "duplex_chain_throughput"}.get(
+                  mode, "uplink_chain_throughput")
     print(json.dumps({
-        "metric": "uplink_chain_throughput",
+        "metric": metric,
         "value": round(sps / 1e6, 3),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(sps / baseline_sps, 2),

@@ -123,10 +123,89 @@ int main(int argc, char **argv) {
   auto t1 = std::chrono::steady_clock::now();
   double secs = std::chrono::duration<double>(t1 - t0).count();
   double sps = (double)blocks * BLOCK_IN / secs;
-  printf("{\"samples_per_s\": %.1f, \"seconds\": %.3f, \"blocks\": %d, "
+
+  // DUPLEX: the transceiver's full per-block work — transmit side
+  // (modulateBurst per slot + tx scale + 651-tap 96/65 resample,
+  // driveTransmitFIFO -> pushBuffer, Transceiver52M/Transceiver.cpp:
+  // 103-181 + Transceiver/radioInterface.cpp:123-186) PLUS the uplink
+  // chain above. Denominator stays device-rate samples per block (a
+  // duplex-processed sample counts once), matching bench.py's duplex
+  // metric.
+  double sink2 = 0.0;
+  auto t2 = std::chrono::steady_clock::now();
+  for (int b = 0; b < blocks; b++) {
+    // tx leg
+    signalVector txSym(SYM);
+    txSym.fill(complex(0, 0));
+    for (int f = 0; f < FRAMES; f++)
+      for (int tn = 0; tn < 8; tn++) {
+        signalVector *m = modulateBurst(bits, *pulse, 9, SPS);
+        scaleVector(*m, complex(13500.0, 0.0));
+        int off = f * SYM_PER_FRAME + SLOT_OFF[tn];
+        for (unsigned i = 0; i < m->size() && (int)i < SLOT_LEN[tn]; i++)
+          txSym[off + i] = (*m)[i];
+        delete m;
+      }
+    signalVector *txDev = polyphaseResampleVector(txSym, 96, 65, sendLPF);
+    sink2 += (*txDev)[100].real();
+    delete txDev;
+
+    // rx leg (same chain as the uplink loop)
+    signalVector *rx = polyphaseResampleVector(input, 65, 96, rcvLPF);
+    for (int f = 0; f < FRAMES; f++) {
+      for (int tn = 0; tn < 8; tn++) {
+        int off = f * SYM_PER_FRAME + SLOT_OFF[tn];
+        if (off + 157 > (int)rx->size()) continue;
+        signalVector vec(rx->begin(), off, SLOT_LEN[tn]);
+        signalVector slot(vec);
+        if (!energyDetect(slot, 20 * SPS, 5.0f)) continue;
+        complex amp;
+        float toa;
+        if (!analyzeTrafficBurst(slot, 0, 3.0f, SPS, &amp, &toa,
+                                 false, NULL, NULL)) continue;
+        SoftVector *soft = demodulateBurst(slot, *pulse, SPS, amp, toa);
+        if (soft) {
+          sink2 += (*soft)[77];
+          delete soft;
+        }
+      }
+    }
+    delete rx;
+  }
+  auto t3 = std::chrono::steady_clock::now();
+  double secs2 = std::chrono::duration<double>(t3 - t2).count();
+  double sps_duplex = (double)blocks * BLOCK_IN / secs2;
+
+  // DOWNLINK only: the tx leg in isolation.
+  double sink3 = 0.0;
+  auto t4 = std::chrono::steady_clock::now();
+  for (int b = 0; b < blocks; b++) {
+    signalVector txSym(SYM);
+    txSym.fill(complex(0, 0));
+    for (int f = 0; f < FRAMES; f++)
+      for (int tn = 0; tn < 8; tn++) {
+        signalVector *m = modulateBurst(bits, *pulse, 9, SPS);
+        scaleVector(*m, complex(13500.0, 0.0));
+        int off = f * SYM_PER_FRAME + SLOT_OFF[tn];
+        for (unsigned i = 0; i < m->size() && (int)i < SLOT_LEN[tn]; i++)
+          txSym[off + i] = (*m)[i];
+        delete m;
+      }
+    signalVector *txDev = polyphaseResampleVector(txSym, 96, 65, sendLPF);
+    sink3 += (*txDev)[100].real();
+    delete txDev;
+  }
+  auto t5 = std::chrono::steady_clock::now();
+  double secs3 = std::chrono::duration<double>(t5 - t4).count();
+  double sps_downlink = (double)blocks * BLOCK_IN / secs3;
+
+  printf("{\"samples_per_s\": %.1f, \"samples_per_s_duplex\": %.1f, "
+         "\"samples_per_s_downlink\": %.1f, "
+         "\"seconds\": %.3f, \"seconds_duplex\": %.3f, \"blocks\": %d, "
          "\"detects\": %ld, \"demods\": %ld, \"sink\": %.3f, "
          "\"harness\": \"reference sigProcLib\"}\n",
-         sps, secs, blocks, detects, demods, sink);
+         sps, sps_duplex, sps_downlink, secs, secs2, blocks, detects,
+         demods, sink + sink2 + sink3);
 
   delete devIn;
   delete burst;

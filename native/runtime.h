@@ -20,6 +20,10 @@ int udt_send(int h, const void *buf, int len);
 // Blocking receive with timeout_ms (-1 = forever). Returns bytes, 0 on
 // timeout, -1 on error.
 int udt_recv(int h, void *buf, int maxlen, int timeout_ms);
+// Send n_pkts back-to-back fixed-size packets -> packets sent.
+int udt_send_batch(int h, const uint8_t *pkts, int n_pkts, int pkt_len);
+// Non-blocking drain of pkt_len-sized datagrams into out -> count.
+int udt_drain_fixed(int h, int pkt_len, int max_pkts, uint8_t *out);
 void udt_close(int h);
 
 // ---- timestamped complex-int16 sample ring (USRPDevice.h:68-88) -------
@@ -54,4 +58,11 @@ int bpq_pop_exact(burst_pq *p, int64_t fn, int chan, int tn,
 int bpq_dump_stale(burst_pq *p, int64_t fn);
 int bpq_size(const burst_pq *p);
 int64_t bpq_min_fn(const burst_pq *p, int64_t ref);
+// Bulk-ingest 154-byte downlink datagrams for one carrier -> queued;
+// *n_late counts bursts already past tx_fn (underrun signal).
+int bpq_push_block(burst_pq *p, int chan, const uint8_t *pkts, int n_pkts,
+                   int64_t tx_fn, int32_t *n_late);
+// Pop bursts in [fn0, fn0+frames) into dense [frames][n_chan][8] arrays.
+int bpq_pop_block(burst_pq *p, int64_t fn0, int frames, int n_chan,
+                  uint8_t *bits, uint8_t *valid, float *gain);
 }

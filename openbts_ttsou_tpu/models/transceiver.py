@@ -109,13 +109,25 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
     tsc_flat = jnp.tile(jnp.repeat(state.tsc, 8), f)
     det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
         bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
-        estimate_channel=True)
+        estimate_channel=True, max_toa=cfg.max_toa)
     det_rach = xcorr.detect_rach(bursts, sps,
                                  threshold=cfg.rach_threshold)
 
     success = has_energy & jnp.where(
         is_tsc, det_tsc.detected,
         jnp.where(is_rach, det_rach.detected, False))
+    # per-carrier SETMAXDELAY acceptance, as in rx_step (RACH upper
+    # bound when set; TSC window ±max(SETMAXDELAY, 3)·sps —
+    # Transceiver52M/sigProcLib.cpp:982-990)
+    med = jnp.tile(jnp.repeat(state.max_expected_delay[:, None], 8,
+                              axis=1).reshape(-1), f
+                   ).astype(jnp.float32) * sps
+    success = success & jnp.where(
+        is_rach & (med > 0), det_rach.toa <= med, True)
+    tsc_bound = jnp.maximum(med, 3.0 * sps)
+    success = success & jnp.where(
+        is_tsc, (det_tsc.toa <= tsc_bound) & (det_tsc.toa >= -tsc_bound),
+        True)
     amplitude = jnp.where(is_tsc, det_tsc.amplitude, det_rach.amplitude)
     toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
 
@@ -455,6 +467,189 @@ def downlink_block_encoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     a = jnp.pad(a, ((0, pad), (0, 0), (0, 0)))
     return downlink_block(cfg, spec, state, bits.astype(jnp.uint8), v, a,
                           fn0)
+
+
+# Streaming-duplex halo geometry. The 961-tap 65/96 rx resampler reads
+# ±⌈960/130⌉ = 8 device samples around each symbol — rounded to one
+# 96-sample polyphase period per side; the 651-tap 96/65 tx resampler
+# reads ±⌈650/192⌉ = 4 symbols — rounded to one 65-symbol period,
+# carried as a 2×65-symbol left history (the reference's
+# sendHistory/rcvHistory INHISTORY=130/OUTHISTORY=192 buffers,
+# Transceiver/radioInterface.h:35-41, radioInterface.cpp:123-260).
+RX_HALO_DEV = 96
+TX_TAIL_SYM = 130
+TX_DELAY_DEV = (TX_TAIL_SYM // 2) * 96 // 65  # 96 device samples
+
+
+class WireBlock(NamedTuple):
+    """One block's uplink results pre-quantized for the UDP data plane
+    (driveReceiveFIFO serialization, Transceiver52M/Transceiver.cpp:
+    652-667): soft bits already scaled ×255 to the wire's byte format."""
+
+    detected: Array  # [F, C, 8] bool
+    soft_u8: Array  # [F, C, 8, 148] uint8
+    rssi: Array  # [F, C, 8] int32
+    timing: Array  # [F, C, 8] int32 (1/256 symbol)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
+                      state: eng.TrxState, ul_halo: Array, tx_tail: Array,
+                      dl_bits: Array, dl_valid: Array, dl_atten: Array,
+                      tx_fn0: Array, io_i16: bool = False
+                      ) -> tuple[eng.TrxState, Array, Array, WireBlock]:
+    """One fused streaming-duplex block: modulate + 96/65-resample the
+    downlink window AND detect/demodulate the uplink window, with exact
+    stream continuity across blocks.
+
+    ul_halo:  [C, RX_HALO_DEV + block_in + RX_HALO_DEV] device-rate rx
+              samples (one polyphase period of past and future stream);
+    tx_tail:  [C, TX_TAIL_SYM] — the previous block's final modulated
+              symbols (zeros on the first block);
+    dl_bits/dl_valid/dl_atten: [frames, C, 8, ...] downlink window.
+
+    Returns (state', tx_dev [C, block_in], tx_tail', WireBlock). The tx
+    samples cover device timestamps shifted TX_DELAY_DEV early (the
+    causal filter delay the reference absorbs in its history buffers) —
+    the daemon writes them at ts − TX_DELAY_DEV so the air timeline is
+    exact.
+
+    io_i16 (static): move radio samples across the host boundary as
+    int16 I/Q pairs [C, T, 2] — the USRP's native sample format — with
+    the float conversion done on device (the reference burns host CPU
+    on exactly this in USRPifyVector/unUSRPifyVector,
+    Transceiver52M/radioInterface.cpp:101-146; on TPU it is a free
+    fused op and halves the PCIe bytes).
+    """
+    from openbts_ttsou_tpu.parallel.halo import resample_block
+
+    if io_i16:
+        ul_halo = (ul_halo[..., 0].astype(jnp.float32)
+                   + 1j * ul_halo[..., 1].astype(jnp.float32)
+                   ).astype(jnp.complex64)
+    frames = spec.frames
+
+    # ---- downlink (driveTransmitFIFO → pushBuffer) --------------------
+    def frame_step(fn, inp):
+        b, v, a = inp
+        out = eng.tx_step(cfg, state, b, v, a, fn)
+        return (fn + 1) % HYPERFRAME, out
+
+    _, slots = lax.scan(frame_step, tx_fn0, (dl_bits, dl_valid, dl_atten))
+    sym = _assemble_stream(slots)  # [C, frames·1250]
+    stream = jnp.concatenate([tx_tail.astype(sym.dtype), sym], axis=-1)
+    lpf_tx = fir.resampler_lpf(spec.q, spec.p, 651)
+    y = fir.polyphase_resample(stream, spec.q, spec.p, lpf_tx)
+    tx = lax.slice_in_dim(y, TX_DELAY_DEV, TX_DELAY_DEV + spec.block_in,
+                          axis=-1)
+    if io_i16:  # DAC format, clipped like USRPifyVector
+        tx = jnp.stack([jnp.real(tx), jnp.imag(tx)], axis=-1)
+        tx = jnp.clip(jnp.round(tx), -32767.0, 32767.0).astype(jnp.int16)
+    new_tail = sym[..., -TX_TAIL_SYM:]
+
+    # ---- uplink (pullBuffer → detection/demod) ------------------------
+    lpf_rx = fir.resampler_lpf(spec.p, spec.q, spec.taps)
+    sym_ul = resample_block(ul_halo, spec.p, spec.q, lpf_rx, RX_HALO_DEV,
+                            spec.block_in)
+    state2, res = process_block_fast(cfg, frames, state,
+                                     sym_ul[..., : spec.block_symbols])
+    soft_u8 = jnp.clip(jnp.round(res.soft_bits * 255.0), 0.0, 255.0
+                       ).astype(jnp.uint8)
+    wire = WireBlock(res.detected, soft_u8, res.rssi, res.timing)
+    return state2, tx, new_tail, wire
+
+
+# ---------------------------------------------------------------------------
+# single-buffer block I/O: the whole duplex block crosses the host
+# boundary as ONE uint8 array each way (one DMA per direction per
+# block). The uplink datagrams are built ON DEVICE in the reference's
+# wire format, so the host's only work is a boolean row-select + send.
+# ---------------------------------------------------------------------------
+
+DL_ROW = 150  # per-(frame, chan, slot): 148 bit-bytes + valid + gain
+UL_PKT = 158  # uplink datagram (protocol.UPLINK_LEN)
+PACK_HDR = 8  # fn0 (4 bytes BE) + tx_fn0 (4 bytes BE)
+
+
+def pack_dl_buffer(bits: Array, valid: Array, gain: Array, fn0: int,
+                   tx_fn0: int) -> np.ndarray:
+    """Host side: dense downlink window → one uint8 buffer.
+
+    bits [F, C, 8, 148] uint8, valid [F, C, 8] bool, gain [F, C, 8]
+    float (the wire's attenuation byte, driveTransmitPriorityQueue)."""
+    f, c = bits.shape[0], bits.shape[1]
+    body = np.empty((f, c, 8, DL_ROW), np.uint8)
+    body[..., :148] = bits
+    body[..., 148] = valid
+    body[..., 149] = np.asarray(gain, np.int64) & 0xFF
+    hdr = np.frombuffer(np.array([fn0, tx_fn0], ">u4").tobytes(), np.uint8)
+    return np.concatenate([hdr, body.reshape(-1)])
+
+
+def _be32(x: Array) -> Array:
+    """int32 [...] → big-endian bytes [..., 4] uint8."""
+    sh = [(x >> s) & 0xFF for s in (24, 16, 8, 0)]
+    return jnp.stack(sh, axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
+                        state: eng.TrxState, ul_i16: Array, tx_tail: Array,
+                        dl_buf: Array
+                        ) -> tuple[eng.TrxState, Array, Array]:
+    """`duplex_block_wire` with single-buffer I/O: ul_i16 [C, T, 2]
+    int16, dl_buf 1-D uint8 from `pack_dl_buffer`. Returns
+    (state', tx_tail', out) with `out` a 1-D uint8 buffer laid out as
+      [C·block_in·4]            tx int16 I/Q bytes (DAC format)
+      [F·C·8·UL_PKT]            ready-to-send uplink datagrams
+      [F·C·8]                   detection mask bytes
+    — parse with `unpack_block_result`."""
+    f, c = spec.frames, cfg.n_chan
+    hdr = dl_buf[:PACK_HDR].astype(jnp.int32)
+    fn0 = (hdr[0] << 24) | (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
+    tx_fn0 = (hdr[4] << 24) | (hdr[5] << 16) | (hdr[6] << 8) | hdr[7]
+    body = dl_buf[PACK_HDR:].reshape(f, c, 8, DL_ROW)
+    bits = body[..., :148]
+    valid = body[..., 148] > 0
+    atten = body[..., 149].astype(jnp.float32)
+    state = state._replace(fn=fn0)
+    state2, tx, tail2, wire = duplex_block_wire(
+        cfg, spec, state, ul_i16, tx_tail, bits, valid, atten, tx_fn0,
+        True)
+
+    # device-side datagram assembly (the bytes of protocol.pack_uplink;
+    # driveReceiveFIFO serialization, Transceiver52M/Transceiver.cpp:
+    # 652-667)
+    fns = (fn0 + jnp.arange(f, dtype=jnp.int32)) % HYPERFRAME
+    fnb = jnp.broadcast_to(_be32(fns)[:, None, None, :], (f, c, 8, 4))
+    tnb = jnp.broadcast_to(
+        jnp.arange(8, dtype=jnp.uint8)[None, None, :, None], (f, c, 8, 1))
+    rssib = (wire.rssi & 0xFF).astype(jnp.uint8)[..., None]
+    toa_u = (wire.timing & 0xFFFF).astype(jnp.int32)
+    toab = jnp.stack([(toa_u >> 8) & 0xFF, toa_u & 0xFF],
+                     axis=-1).astype(jnp.uint8)
+    nul = jnp.zeros((f, c, 8, 2), jnp.uint8)
+    pkts = jnp.concatenate([tnb, fnb, rssib, toab, wire.soft_u8, nul],
+                           axis=-1)  # [F, C, 8, 158]
+
+    tx_bytes = jax.lax.bitcast_convert_type(tx, jnp.uint8)  # [C,T,2,2]
+    out = jnp.concatenate([
+        tx_bytes.reshape(-1), pkts.reshape(-1),
+        wire.detected.astype(jnp.uint8).reshape(-1)])
+    return state2, tail2, out
+
+
+def unpack_block_result(out: np.ndarray, n_chan: int, spec: UplinkSpec
+                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host side: one fetched uint8 buffer → (tx int16 [C, block_in, 2],
+    datagrams [F, C, 8, UL_PKT], detected [F, C, 8] bool)."""
+    f, c, t = spec.frames, n_chan, spec.block_in
+    a = c * t * 4
+    b = a + f * c * 8 * UL_PKT
+    tx = out[:a].view("<i2").reshape(c, t, 2)
+    pkts = out[a:b].reshape(f, c, 8, UL_PKT)
+    det = out[b:].reshape(f, c, 8).astype(bool)
+    return tx, pkts, det
 
 
 def _assemble_stream(slots: Array) -> Array:

@@ -299,17 +299,35 @@ TSC_SEGMENT_START = 56
 TSC_SEGMENT_LEN = 36
 TSC_SEGMENT_OFFSET = 10  # (66 − 56) symbols
 
+# Correlation index of a TOA-0 midamble, modulo the template's
+# sub-sample TOA: the 16·sps-bit middle sequence peaks 8·sps into its
+# NO_DELAY correlation (all 8 template TOAs round to 8·sps — the 52M
+# expectedTOAPeak constant, Transceiver52M/sigProcLib.cpp:992).
+TSC_PEAK_SYMBOL = 8
+
 
 def analyze_traffic_burst(burst: Array, tsc, sps: int,
                           threshold: float = C.TSC_DETECT_THRESHOLD,
                           estimate_channel: bool = False,
-                          chan_taps_symbols: int = 6):
+                          chan_taps_symbols: int = 6,
+                          max_toa: int | None = None):
     """Batched normal-burst midamble detection + channel estimation.
 
     burst: [..., T] complex; tsc: int or int32 [...] per-burst TSC.
     Returns (Detection, channel_response [..., chan_taps_symbols*sps] or
     None, chan_resp_offset [...] or None).
     (analyzeTrafficBurst, sigProcLib.cpp:935-1037.)
+
+    max_toa (static, in samples — the reference hands the SETMAXDELAY
+    symbol count straight to this samples-typed parameter,
+    Transceiver52M/Transceiver.cpp:324-330,483) enables the 52M windowed
+    correlation (Transceiver52M/sigProcLib.cpp:983-1000): the value is
+    clamped to ≥3·sps, the burst segment spans 66±max(maxTOA, 5·sps)
+    symbols, and only the 2·maxTOA+1 lags around the expected peak are
+    searched — detections, the valley-power in-range count, and the
+    channel-estimate window guards are all confined to that window
+    exactly as the reference's CUSTOM-span correlation confines them.
+    `None` keeps the 64M full-segment geometry (±10-symbol span).
     """
     seqs, gains, toas = midamble_bank(sps)
     burst = jnp.asarray(burst)
@@ -324,9 +342,21 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
         gain = jnp.asarray(gains)[tsc]
         tmpl_toa = jnp.asarray(toas)[tsc]
 
-    seg = burst[..., TSC_SEGMENT_START * sps:
-                (TSC_SEGMENT_START + TSC_SEGMENT_LEN) * sps]
+    if max_toa is None:
+        span = TSC_SEGMENT_OFFSET * sps  # the 64M fixed ±10-symbol span
+        mt = span  # every lag of the segment participates
+    else:
+        # maxTOA < 3*samplesPerSymbol → 3*samplesPerSymbol; spanTOA ≥
+        # 5*samplesPerSymbol (Transceiver52M/sigProcLib.cpp:982-985)
+        mt = max(int(max_toa), 3 * sps)
+        span = max(mt, 5 * sps)
+    seg = burst[..., 66 * sps - span: (66 + 16) * sps + span]
     corr = fir.correlate(seg, seq, fir.NO_DELAY)
+    if max_toa is not None:
+        # keep the 2·maxTOA+1 lags around the expected TOA-0 peak — the
+        # CUSTOM-span window (corrLen, startIx = expectedTOAPeak−maxTOA)
+        center = TSC_PEAK_SYMBOL * sps + span
+        corr = corr[..., center - mt: center + mt + 1]
     peak_val, peak_idx, _ = peak_detect(corr)
     peak_int = jnp.round(peak_idx).astype(jnp.int32)
 
@@ -341,7 +371,15 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     ok = (peak_idx >= 0) & (peak_idx <= t) & (count >= 2)
     detected = ok & (peak_to_mean > threshold)
     amplitude = jnp.where(ok, peak_val / gain, 0.0).astype(jnp.complex64)
-    toa = peak_idx - tmpl_toa - TSC_SEGMENT_OFFSET * sps
+    if max_toa is None:
+        # TOA-0 peak sits at template_toa + span in segment coordinates
+        toa = peak_idx - tmpl_toa - span
+    else:
+        # restricted coordinates: the window starts maxTOA lags before
+        # the expected peak, so TOA = peak − maxTOA (sigProcLib.cpp:1039)
+        # — template-compensated like the unrestricted path (the 8
+        # sub-sample template TOAs differ from 8·sps by <0.01 samples)
+        toa = peak_idx - mt - (tmpl_toa - TSC_PEAK_SYMBOL * sps)
     det = Detection(detected, amplitude, toa, peak_to_mean)
     if not estimate_channel:
         return det, None, None
@@ -360,8 +398,15 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     # a 234 ms block at 1024 carriers before the rewrite).
     from openbts_ttsou_tpu.ops.gmsk import delay_vector
 
-    toa_offset = jnp.broadcast_to(
-        jnp.asarray(tmpl_toa, jnp.float32) + TSC_SEGMENT_OFFSET * sps, lead)
+    if max_toa is None:
+        toa_offset = jnp.broadcast_to(
+            jnp.asarray(tmpl_toa, jnp.float32) + span, lead)
+        all_offs = toas + span  # [8] trace-time consts
+    else:
+        # restricted window: TOAoffset = maxTOA exactly (the 52M
+        # requestChannel anchor, Transceiver52M/sigProcLib.cpp:1046)
+        toa_offset = jnp.full(lead, float(mt), jnp.float32)
+        all_offs = np.array([float(mt)], np.float32)
     corr_d = delay_vector(corr, -toa)
     nw = chan_taps_symbols * sps
     # window starts: floor(toa_offset + (i−5)*sps), i = 0..6
@@ -369,7 +414,6 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
         + (jnp.arange(7) - 5) * sps
     in_range = (starts >= 0) & (starts + nw <= t)  # [..., 7]
     # static bound on every possible start value
-    all_offs = toas + TSC_SEGMENT_OFFSET * sps  # [8] trace-time consts
     v_lo = int(np.floor(all_offs.min())) - 5 * sps
     v_hi = int(np.floor(all_offs.max())) + 1 * sps
     v_vals = np.arange(v_lo, v_hi + 1)  # [V]

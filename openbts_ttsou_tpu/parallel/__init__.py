@@ -14,6 +14,7 @@ XLA collectives over a device mesh:
 from openbts_ttsou_tpu.parallel.mesh import make_mesh, mesh_factors  # noqa: F401
 from openbts_ttsou_tpu.parallel.halo import exchange_halo, resample_block  # noqa: F401
 from openbts_ttsou_tpu.parallel.sharded import (  # noqa: F401
+    sharded_duplex_pipeline,
     sharded_uplink_pipeline,
     state_partition_specs,
 )

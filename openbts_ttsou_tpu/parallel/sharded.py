@@ -171,6 +171,35 @@ def _merge_time_shards(state0: eng.TrxState, state: eng.TrxState,
     )
 
 
+def _downlink_shard(cfg_local: eng.TrxConfig, spec: ShardedPipelineSpec,
+                    state0: eng.TrxState, dl_bits: Array, dl_valid: Array,
+                    dl_atten: Array, fn_start: Array,
+                    collectives: bool) -> Array:
+    """One time shard's downlink leg: modulate its frames, then 96/65
+    resample to device rate with symbol halos from ring neighbors (the
+    tx mirror of the rx overlap-save — the reference carries
+    sendHistory on this path, Transceiver/radioInterface.cpp:123-186).
+    Must run inside `shard_map`; returns [C_local, block_in]."""
+    from openbts_ttsou_tpu.models.transceiver import _assemble_stream
+    from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME
+
+    def frame_step(fn, inp):
+        b, v, a = inp
+        out = eng.tx_step(cfg_local, state0, b, v, a, fn)
+        return (fn + 1) % HYPERFRAME, out
+
+    _, slots = lax.scan(frame_step, fn_start, (dl_bits, dl_valid, dl_atten))
+    sym = _assemble_stream(slots)  # [C_local, F·1250]
+    h = resample_halo(spec.q, spec.p, 651)  # symbols per side (65)
+    if collectives:
+        sym = exchange_halo(sym, h, h, "time")
+    else:  # benchmark isolation only: zero halos, WRONG at shard edges
+        sym = jnp.pad(sym, [(0, 0)] * (sym.ndim - 1) + [(h, h)])
+    lpf = fir.resampler_lpf(spec.q, spec.p, 651)
+    return resample_block(sym, spec.q, spec.p, lpf, h,
+                          spec.block_symbols)
+
+
 def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                             spec: ShardedPipelineSpec,
                             mode: str = "exact",
@@ -270,6 +299,93 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         body, mesh=mesh,
         in_specs=(state_specs, P("chan", "time"), P()),
         out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_duplex_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
+                            spec: ShardedPipelineSpec,
+                            mode: str = "exact",
+                            carry_state: bool = True,
+                            collectives: bool = True):
+    """Full-duplex sharded step: the uplink pipeline of
+    `sharded_uplink_pipeline` PLUS a time-sharded downlink leg — each
+    time shard modulates its own frames and 96/65-resamples them to
+    device rate with symbol halos exchanged over the ring (the tx
+    overlap-save that the reference's sendHistory carries between
+    chunks, Transceiver/radioInterface.cpp:123-186).
+
+    Returns ``step(state_sh, ul_samples, dl_bits, dl_valid, dl_atten,
+    fn0) -> (state_sh, rx_result, tx_samples, clock)`` with:
+      ul_samples: [C_total, T·block_in] P('chan', 'time');
+      dl_bits:    [F_total, C_total, 8, 148] P('time', 'chan') — the tx
+                  window covers the same frames as the rx window;
+      tx_samples: [C_total, T·block_in] P('chan', 'time') device-rate
+                  downlink, bit-identical to a serial full-stream
+                  modulate+resample.
+    """
+    n_time = mesh.shape["time"]
+    n_chan_dev = mesh.shape["chan"]
+    assert spec.n_chan_total % n_chan_dev == 0
+    c_local = spec.n_chan_total // n_chan_dev
+    cfg_local = cfg._replace(n_chan=c_local)
+    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)
+
+    state_specs = state_partition_specs()
+    result_specs = eng.RxResult(*([P("time", "chan")] * 5))
+
+    def body(state_sh: eng.TrxState, samples: Array, dl_bits: Array,
+             dl_valid: Array, dl_atten: Array, fn0: Array):
+        state = jax.tree.map(lambda x: x[0], state_sh)
+        state0 = state
+        t_idx = lax.axis_index("time")
+        fn_start = (fn0 + t_idx * spec.frames_per_shard).astype(jnp.int32)
+
+        # ---- downlink leg (tx halo ring) ------------------------------
+        tx = _downlink_shard(cfg_local, spec, state0, dl_bits, dl_valid,
+                             dl_atten, fn_start, collectives)
+
+        # ---- uplink leg (identical to sharded_uplink_pipeline) --------
+        h = spec.halo_in
+        if collectives:
+            x = exchange_halo(samples, h, h, "time")
+        else:
+            x = jnp.pad(samples,
+                        [(0, 0)] * (samples.ndim - 1) + [(h, h)])
+        sym = resample_block(x, spec.p, spec.q, lpf, h, spec.block_in)
+        state = state._replace(fn=fn_start)
+        if mode == "fast":
+            from openbts_ttsou_tpu.models.transceiver import (
+                process_block_fast,
+            )
+
+            state, results = process_block_fast(
+                cfg_local, spec.frames_per_shard, state, sym)
+        else:
+            wins = _slot_windows(sym, spec.frames_per_shard)
+
+            def frame_step(st, frame):
+                return eng.rx_step(cfg_local, st, frame)
+
+            state, results = lax.scan(frame_step, state, wins)
+        if carry_state and collectives:
+            state = _merge_time_shards(
+                state0, state, fn0, n_time * spec.frames_per_shard)
+        if collectives:
+            clock = lax.psum(
+                jnp.asarray(samples.shape[-1], jnp.int32) *
+                jnp.ones((), jnp.int32), ("time", "chan")) // n_chan_dev
+        else:
+            clock = jnp.asarray(samples.shape[-1] * n_time, jnp.int32)
+        return (jax.tree.map(lambda x: x[None], state), results, tx,
+                clock)
+
+    mapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(state_specs, P("chan", "time"), P("time", "chan"),
+                  P("time", "chan"), P("time", "chan"), P()),
+        out_specs=(state_specs, result_specs, P("chan", "time"), P()),
         check_vma=False,
     )
     return jax.jit(mapped)

@@ -77,6 +77,21 @@ def load_runtime() -> ctypes.CDLL:
         lib.bpq_size.restype = ctypes.c_int
         lib.bpq_min_fn.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.bpq_min_fn.restype = ctypes.c_int64
+        lib.udt_send_batch.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                       ctypes.c_int, ctypes.c_int]
+        lib.udt_send_batch.restype = ctypes.c_int
+        lib.udt_drain_fixed.argtypes = [ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_void_p]
+        lib.udt_drain_fixed.restype = ctypes.c_int
+        lib.bpq_push_block.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int64, ctypes.c_void_p]
+        lib.bpq_push_block.restype = ctypes.c_int
+        lib.bpq_pop_block.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p]
+        lib.bpq_pop_block.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -118,6 +133,24 @@ class UdpTransport:
         if n <= 0:
             return None
         return buf.raw[:n]
+
+    def send_batch(self, pkts: np.ndarray) -> int:
+        """Send every row of a [n, pkt_len] uint8 array as one datagram
+        each (one native call per burst batch)."""
+        pkts = np.ascontiguousarray(pkts, np.uint8)
+        if pkts.size == 0:
+            return 0
+        return self._lib.udt_send_batch(
+            self._h, pkts.ctypes.data_as(ctypes.c_void_p),
+            pkts.shape[0], pkts.shape[1])
+
+    def drain_fixed(self, pkt_len: int, max_pkts: int = 4096) -> np.ndarray:
+        """Drain queued datagrams of exactly pkt_len bytes without
+        blocking → [n, pkt_len] uint8."""
+        out = np.empty((max_pkts, pkt_len), np.uint8)
+        n = self._lib.udt_drain_fixed(
+            self._h, pkt_len, max_pkts, out.ctypes.data_as(ctypes.c_void_p))
+        return out[:max(n, 0)]
 
     def close(self):
         if self._h >= 0:
@@ -218,6 +251,35 @@ class BurstQueue:
 
     def dump_stale(self, fn: int) -> int:
         return int(self._lib.bpq_dump_stale(self._q, fn))
+
+    def push_block(self, chan: int, pkts: np.ndarray,
+                   tx_fn: int) -> tuple[int, int]:
+        """Bulk-ingest [n, 154] raw downlink datagrams for one carrier.
+        Returns (queued, late) — `late` counts bursts whose FN already
+        passed tx_fn (the underrun signal, Transceiver.cpp:688-716)."""
+        pkts = np.ascontiguousarray(pkts, np.uint8)
+        if pkts.size == 0:
+            return 0, 0
+        late = ctypes.c_int32(0)
+        n = self._lib.bpq_push_block(
+            self._q, chan, pkts.ctypes.data_as(ctypes.c_void_p),
+            pkts.shape[0], tx_fn, ctypes.byref(late))
+        return int(n), int(late.value)
+
+    def pop_block(self, fn0: int, frames: int, n_chan: int
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Pop every burst scheduled in [fn0, fn0+frames) into dense
+        arrays: (bits [frames, n_chan, 8, 148] uint8, valid
+        [frames, n_chan, 8] bool, gain [frames, n_chan, 8] f32, count)."""
+        bits = np.zeros((frames, n_chan, 8, 148), np.uint8)
+        valid = np.zeros((frames, n_chan, 8), np.uint8)
+        gain = np.zeros((frames, n_chan, 8), np.float32)
+        n = self._lib.bpq_pop_block(
+            self._q, fn0, frames, n_chan,
+            bits.ctypes.data_as(ctypes.c_void_p),
+            valid.ctypes.data_as(ctypes.c_void_p),
+            gain.ctypes.data_as(ctypes.c_void_p))
+        return bits, valid.astype(bool), gain, int(n)
 
     def __len__(self) -> int:
         return int(self._lib.bpq_size(self._q))

@@ -49,17 +49,26 @@ class TrxDaemonConfig:
     n_arfcn: int = 1
     start_fn: int = 0
     tx_latency_frames: int = 2  # initial latency (runTransceiver.cpp:71)
+    #: static TSC correlation window in samples (the 52M 2·maxTOA+1-lag
+    #: restriction, Transceiver52M/sigProcLib.cpp:983-1000); None = the
+    #: full ±10-symbol segment. SETMAXDELAY values at or below this
+    #: still apply per carrier dynamically.
+    max_toa: int | None = None
 
 
 class TrxDaemon:
     """N-ARFCN transceiver daemon over a pluggable radio (one radio per
-    carrier)."""
+    carrier, or one vectorized `BankRadio` for all of them)."""
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig()):
         self.cfg = cfg
-        self.radios: List[Radio] = (radio if isinstance(radio, list)
-                                    else [radio])
-        assert len(self.radios) == cfg.n_arfcn
+        if hasattr(radio, "read_bank"):
+            self.bank = radio
+            self.radios: List[Radio] = [radio] * cfg.n_arfcn
+        else:
+            self.bank = None
+            self.radios = radio if isinstance(radio, list) else [radio]
+            assert len(self.radios) == cfg.n_arfcn
         base, peer = cfg.base_port, cfg.base_port + cfg.peer_port_offset
         self.clock_sock = UdpTransport(base, cfg.peer_host, peer)
         self.ctrl_socks = [
@@ -68,7 +77,8 @@ class TrxDaemon:
         self.data_socks = [
             UdpTransport(base + 3 * i + 2, cfg.peer_host, peer + 3 * i + 2)
             for i in range(cfg.n_arfcn)]
-        self.engine_cfg = eng.TrxConfig(n_chan=cfg.n_arfcn, sps=cfg.sps)
+        self.engine_cfg = eng.TrxConfig(n_chan=cfg.n_arfcn, sps=cfg.sps,
+                                        max_toa=cfg.max_toa)
         self.state = eng.init_state(self.engine_cfg)
         self.carrier_on = [False] * cfg.n_arfcn
         self.tx_freq = [0.0] * cfg.n_arfcn
@@ -154,6 +164,14 @@ class TrxDaemon:
             self.power[carrier] += int(args[0])
             extra = (self.power[carrier],)
         elif verb == "SETMAXDELAY":
+            # Applies dynamically: the engine bounds accepted TOAs to
+            # ±max(value, 3)·sps per carrier (the 52M window's
+            # acceptance semantics, Transceiver52M/sigProcLib.cpp:
+            # 982-990) with no recompile. The static correlation-window
+            # shrink (the compute win) is a construction-time choice —
+            # TrxDaemonConfig.max_toa — because changing it would
+            # recompile the engine mid-bring-up and starve the control
+            # plane (the reference reconfigures for free; XLA doesn't).
             self.state = self.state._replace(
                 max_expected_delay=self.state.max_expected_delay
                 .at[carrier].set(int(args[0])))
@@ -303,6 +321,184 @@ class TrxDaemon:
         while max_frames is None or n < max_frames:
             self.step()
             n += 1
+
+
+class BlockTrxDaemon(TrxDaemon):
+    """Block-pipelined daemon: one fused device step per 13-frame window
+    (downlink modulate+96/65 resample AND uplink 65/96 resample+detect+
+    demod, `models.transceiver.duplex_block_wire`) behind the same
+    3-plane wire protocol.
+
+    Where the reference overlaps I/O and DSP with three service threads
+    (Transceiver52M/Transceiver.cpp:744-778), this daemon overlaps them
+    with the device: each `step()` dispatches block N asynchronously,
+    then — while the TPU computes it — retires block N−1 (fetch, radio
+    write, uplink datagram batch) and ingests block N+1's downlink
+    bursts. Burst marshalling is native and dense: `bpq_pop_block` /
+    `bpq_push_block` / `udt_send_batch` move whole windows per call
+    instead of per-(carrier, slot) Python loops.
+    """
+
+    def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
+                 block_frames: int = 13):
+        from openbts_ttsou_tpu.models.transceiver import UplinkSpec
+
+        super().__init__(radio, cfg)
+        assert block_frames % 13 == 0, \
+            "65/96 streaming needs 13-frame multiples"
+        self.spec = UplinkSpec(frames=block_frames)
+        n = cfg.n_arfcn
+        from openbts_ttsou_tpu.models.transceiver import TX_TAIL_SYM
+
+        self._tx_tail = device_put_safe(
+            np.zeros((n, TX_TAIL_SYM), np.complex64))
+        self._rx_block = 0
+        self._tx_block = 0
+        self._frames_since_late = 0
+        self._pending = None  # (out_buffer, rx_fn0, tx_block) in flight
+        # Radio samples cross the host/device boundary as int16 I/Q —
+        # the USRP sample format — with the float conversion fused into
+        # the device program (the reference burns host CPU on exactly
+        # this in USRPifyVector, radioInterface.cpp:101-146). Radios
+        # that speak int16 natively (`int16_io`) skip all conversions.
+        self._radio_i16 = bool(getattr(self.bank, "int16_io", False))
+
+    # -- plane servicing (bulk) -----------------------------------------
+    def _service_control(self) -> None:
+        for c, sock in enumerate(self.ctrl_socks):
+            while True:
+                msg = sock.recv(256, timeout_ms=0)
+                if not msg:
+                    break
+                resp = self.handle_control(msg, c)
+                if resp:
+                    sock.send(resp)
+
+    def _ingest_downlink(self) -> None:
+        late_total = 0
+        for c, sock in enumerate(self.data_socks):
+            pkts = sock.drain_fixed(proto.DOWNLINK_LEN, 16384)
+            if len(pkts):
+                _, late = self.pending_tx.push_block(c, pkts, self.tx_fn)
+                late_total += late
+        # adaptive clock lead (driveTransmitFIFO, Transceiver.cpp:
+        # 688-716): late bursts grow the lead; a quiet 216 frames
+        # shrinks it back toward the initial value
+        if late_total:
+            self.underruns += late_total
+            self.clock_lead = min(self.clock_lead + 1, 40)
+            self._frames_since_late = 0
+            self._send_clock(force=True)
+        else:
+            self._frames_since_late += self.spec.frames
+            if self._frames_since_late >= proto.CLOCK_PERIOD_FRAMES:
+                self.clock_lead = max(self.clock_lead - 1,
+                                      proto.CLOCK_LEAD_FRAMES)
+                self._frames_since_late = 0
+
+    # -- radio I/O at the 400 kS/s device rate ---------------------------
+    def _read_ul(self, block: int) -> np.ndarray:
+        """int16 [C, halo+block_in+halo, 2] uplink window."""
+        from openbts_ttsou_tpu.models.transceiver import RX_HALO_DEV
+
+        n = self.spec.block_in + 2 * RX_HALO_DEV
+        ts = block * self.spec.block_in - RX_HALO_DEV
+        if self.bank is not None:
+            raw = self.bank.read_bank(n, ts)
+        else:
+            raw = np.stack([r.read_samples(n, ts) for r in self.radios])
+        if not self._radio_i16:  # complex radio → ADC format
+            raw = np.clip(np.stack([raw.real, raw.imag], -1).round(),
+                          -32767, 32767).astype(np.int16)
+        return raw
+
+    def _write_tx(self, tx_i16: np.ndarray, block: int) -> None:
+        """tx_i16: int16 [C, block_in, 2] — the DAC sample format."""
+        from openbts_ttsou_tpu.models.transceiver import TX_DELAY_DEV
+
+        ts = block * self.spec.block_in - TX_DELAY_DEV
+        if self.bank is not None:
+            self.bank.write_bank(tx_i16, ts)
+            return
+        txc = (tx_i16[..., 0].astype(np.float32)
+               + 1j * tx_i16[..., 1].astype(np.float32))
+        for c, r in enumerate(self.radios):
+            if self.carrier_on[c]:
+                r.write_samples(txc[c], ts)
+
+    # -- the pipeline -----------------------------------------------------
+    def _retire(self, pending) -> None:
+        """Fetch block N−1's packed result — ONE device→host transfer —
+        and push it out (runs while block N computes on device)."""
+        from openbts_ttsou_tpu.models.transceiver import unpack_block_result
+
+        out, rx_fn0, tx_block = pending
+        buf = np.asarray(out)  # uint8: the only sync point per block
+        tx, pkts, det = unpack_block_result(buf, self.cfg.n_arfcn,
+                                            self.spec)
+        self._write_tx(tx, tx_block)
+        for c in range(self.cfg.n_arfcn):
+            if not self.carrier_on[c]:
+                continue
+            mask = det[:, c].reshape(-1)
+            if mask.any():
+                rows = pkts[:, c].reshape(-1, pkts.shape[-1])[mask]
+                self.data_socks[c].send_batch(rows)
+
+    def step(self) -> None:
+        """One block service iteration: control, bulk data ingest,
+        dispatch block N, retire block N−1, clock beacon."""
+        import jax.numpy as jnp
+
+        from openbts_ttsou_tpu.models.transceiver import (
+            duplex_block_packed,
+            pack_dl_buffer,
+        )
+
+        f = self.spec.frames
+        self._service_control()
+        self._ingest_downlink()
+        if not self.on:
+            return
+        # downlink window marshalling (stale-burst dump + dense pop,
+        # pushRadioVector semantics, Transceiver.cpp:141-181)
+        self.stale_dumped += self.pending_tx.dump_stale(self.tx_fn)
+        bits, valid, gain, _ = self.pending_tx.pop_block(
+            self.tx_fn, f, self.cfg.n_arfcn)
+        dl_buf = pack_dl_buffer(bits, valid, gain, self.fn, self.tx_fn)
+        ul = self._read_ul(self._rx_block)
+        # ONE host→device transfer per plane, one fused program, one
+        # packed result to fetch later: the device builds the uplink
+        # datagrams itself (duplex_block_packed)
+        st, tail, out = duplex_block_packed(
+            self.engine_cfg, self.spec, self.state, device_put_safe(ul),
+            self._tx_tail, jnp.asarray(dl_buf))
+        self.state, self._tx_tail = st, tail
+        prev, self._pending = self._pending, (out, self.fn,
+                                              self._tx_block)
+        self.fn = (self.fn + f) % HYPERFRAME
+        self.tx_fn = (self.tx_fn + f) % HYPERFRAME
+        self._rx_block += 1
+        self._tx_block += 1
+        if prev is not None:
+            self._retire(prev)
+        if (self.last_clock_fn is None or
+                (self.tx_fn - self.last_clock_fn) % HYPERFRAME
+                >= proto.CLOCK_PERIOD_FRAMES):
+            self._send_clock()
+
+    def flush(self) -> None:
+        """Retire the in-flight block (call once after the last step)."""
+        if self._pending is not None:
+            self._retire(self._pending)
+            self._pending = None
+
+    def run(self, max_frames: int | None = None) -> None:
+        n = 0
+        while max_frames is None or n < max_frames:
+            self.step()
+            n += self.spec.frames
+        self.flush()
 
 
 def main():  # pragma: no cover - manual entry point

@@ -78,6 +78,12 @@ class TrxConfig(NamedTuple):
     tsc_threshold: float = C.TSC_DETECT_THRESHOLD
     tx_full_scale: float = C.TX_FULL_SCALE
     rssi_full_scale: float = C.RSSI_FULL_SCALE
+    #: static TSC correlation window: restrict the midamble search to
+    #: 2·max_toa+1 lags (the 52M CUSTOM-span correlation,
+    #: Transceiver52M/sigProcLib.cpp:983-1000). None = the 64M
+    #: full-segment geometry. Per-carrier SETMAXDELAY values below this
+    #: window still apply dynamically via state.max_expected_delay.
+    max_toa: int | None = None
 
 
 class TrxState(NamedTuple):
@@ -225,7 +231,7 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     tsc_flat = jnp.repeat(state.tsc, 8)
     det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
         bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
-        estimate_channel=True)
+        estimate_channel=True, max_toa=cfg.max_toa)
 
     # --- RACH path (cpp:358-375) --------------------------------------
     det_rach = xcorr.detect_rach(bursts, sps, threshold=cfg.rach_threshold)
@@ -242,6 +248,14 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
                .reshape(-1).astype(jnp.float32) * cfg.sps)
     success = success & jnp.where(
         is_rach & (max_toa > 0), det_rach.toa <= max_toa, True)
+    # TSC acceptance: the 52M windowed correlation physically bounds
+    # |TOA| ≤ max(SETMAXDELAY, 3)·sps per carrier (Transceiver52M/
+    # sigProcLib.cpp:982-990). With the static window at cfg.max_toa,
+    # the per-carrier dynamic bound applies as an acceptance mask.
+    tsc_bound = jnp.maximum(max_toa, 3.0 * cfg.sps)
+    success = success & jnp.where(
+        is_tsc, (det_tsc.toa <= tsc_bound) & (det_tsc.toa >= -tsc_bound),
+        True)
     amplitude = jnp.where(is_tsc, det_tsc.amplitude, det_rach.amplitude)
     toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
 

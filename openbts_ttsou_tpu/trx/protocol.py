@@ -53,6 +53,26 @@ def pack_downlink(b: DownlinkBurst) -> bytes:
     return head + bytes(np.asarray(b.bits, np.uint8).tobytes())
 
 
+def pack_downlink_block(bits: np.ndarray, valid: np.ndarray, fn0: int,
+                        gain: int = 0,
+                        hyperframe: int = 2715648) -> np.ndarray:
+    """Vectorized downlink packet assembly (the BTS side of the wire):
+    bits [F, 8, 148] uint8, valid [F, 8] bool. Returns [n, 154] uint8
+    datagrams, bytes identical to `pack_downlink`, frame-major."""
+    idx = np.argwhere(np.asarray(valid, bool))
+    n = idx.shape[0]
+    out = np.zeros((n, DOWNLINK_LEN), np.uint8)
+    if n == 0:
+        return out
+    f, tn = idx[:, 0], idx[:, 1]
+    fn = ((fn0 + f) % hyperframe).astype(">u4")
+    out[:, 0] = tn
+    out[:, 1:5] = fn[:, None].view(np.uint8).reshape(n, 4)
+    out[:, 5] = gain & 0xFF
+    out[:, 6:6 + SLOT_LEN] = np.asarray(bits)[f, tn]
+    return out
+
+
 def unpack_downlink(data: bytes) -> DownlinkBurst:
     if len(data) != DOWNLINK_LEN:
         raise ValueError(f"bad downlink length {len(data)}")
@@ -67,6 +87,31 @@ def pack_uplink(b: UplinkBurst) -> bytes:
     soft = np.clip(np.round(np.asarray(b.soft) * 255.0), 0, 255).astype(
         np.uint8)
     return head + soft.tobytes() + b"\x00\x00"
+
+
+def pack_uplink_block(det: np.ndarray, soft_u8: np.ndarray,
+                      rssi: np.ndarray, timing: np.ndarray,
+                      fn0: int, hyperframe: int = 2715648) -> np.ndarray:
+    """Vectorized uplink packet assembly for one carrier's block:
+    det [F, 8] bool, soft_u8 [F, 8, 148] uint8 (wire-scaled ×255),
+    rssi/timing [F, 8] int. Returns [n_detected, 158] uint8 datagrams
+    (one per detection, same bytes as `pack_uplink`), frame-major so
+    they leave in time order (driveReceiveFIFO, Transceiver.cpp:652-667).
+    """
+    idx = np.argwhere(np.asarray(det, bool))  # [n, 2] = (frame, tn)
+    n = idx.shape[0]
+    out = np.zeros((n, UPLINK_LEN), np.uint8)
+    if n == 0:
+        return out
+    f, tn = idx[:, 0], idx[:, 1]
+    fn = ((fn0 + f) % hyperframe).astype(">u4")
+    out[:, 0] = tn
+    out[:, 1:5] = fn[:, None].view(np.uint8).reshape(n, 4)
+    out[:, 5] = (np.asarray(rssi)[f, tn] & 0xFF).astype(np.uint8)
+    out[:, 6:8] = (np.asarray(timing)[f, tn].astype(">i2")[:, None]
+                   .view(np.uint8).reshape(n, 2))
+    out[:, 8:8 + SLOT_LEN] = np.asarray(soft_u8)[f, tn]
+    return out
 
 
 def unpack_uplink(data: bytes) -> UplinkBurst:

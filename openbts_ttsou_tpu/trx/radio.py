@@ -165,6 +165,75 @@ class ReplayRadio(Radio):
         return len(iq)
 
 
+class BankRadio(Radio):
+    """Vectorized multi-carrier radio: one timestamped read/write moves
+    all `n_chan` carriers ([C, n] arrays). The block-pipelined daemon's
+    I/O surface — where the reference runs one USRPDevice per ARFCN
+    process, the TPU daemon batches carriers and the radio follows."""
+
+    n_chan: int = 1
+
+    def read_bank(self, n: int, ts: int) -> np.ndarray:
+        """complex64 [n_chan, n] starting at timestamp ts."""
+        raise NotImplementedError
+
+    def write_bank(self, iq: np.ndarray, ts: int) -> int:
+        raise NotImplementedError
+
+
+class MultiRadio(BankRadio):
+    """Bank adapter over per-carrier `Radio` objects."""
+
+    def __init__(self, radios: list):
+        self.radios = radios
+        self.n_chan = len(radios)
+
+    def start(self) -> bool:
+        return all(r.start() for r in self.radios)
+
+    def read_bank(self, n: int, ts: int) -> np.ndarray:
+        return np.stack([r.read_samples(n, ts) for r in self.radios])
+
+    def write_bank(self, iq: np.ndarray, ts: int) -> int:
+        return min(r.write_samples(iq[i], ts)
+                   for i, r in enumerate(self.radios))
+
+
+class ReplayBankRadio(BankRadio):
+    """Replays a prepared [C, N] uplink IQ template (tiled along time)
+    and captures or discards downlink banks — the vectorized ReplayRadio
+    for ≥100-carrier soaks where per-carrier rings would dominate the
+    host budget. Samples live as int16 I/Q pairs (the USRP ADC/DAC
+    format the reference's ring holds, USRPDevice.h:68-74); the daemon
+    moves them to/from the device untouched (`int16_io`)."""
+
+    int16_io = True
+
+    def __init__(self, iq: np.ndarray, capture_tx_blocks: int = 0):
+        iq = np.asarray(iq)
+        if np.iscomplexobj(iq):
+            iq = np.clip(np.stack([iq.real, iq.imag], -1).round(),
+                         -32767, 32767)
+        self.iq = np.ascontiguousarray(iq, np.int16)  # [C, N, 2]
+        self.n_chan = self.iq.shape[0]
+        self.capture_tx_blocks = capture_tx_blocks
+        self.tx_log: list[tuple[int, np.ndarray]] = []
+
+    def read_bank(self, n: int, ts: int) -> np.ndarray:
+        """int16 [C, n, 2] starting at ts (tiled; pre-stream = zeros)."""
+        period = self.iq.shape[1]
+        idx = (ts + np.arange(n)) % period
+        out = self.iq[:, idx]
+        if ts < 0:  # before stream start: zeros (cold ring)
+            out[:, : min(-ts, n)] = 0
+        return out
+
+    def write_bank(self, iq: np.ndarray, ts: int) -> int:
+        if len(self.tx_log) < self.capture_tx_blocks:
+            self.tx_log.append((ts, np.asarray(iq).copy()))
+        return iq.shape[1]
+
+
 class DuplexLoopbackRadio(Radio):
     """Separate uplink/downlink sample rings for full MS simulation:
     the BTS transceiver writes downlink and reads uplink; a simulated

@@ -127,6 +127,83 @@ def test_tsc_channel_estimate_recovers_multipath():
     assert mags[k + 1] == pytest.approx(0.4, abs=0.15)
 
 
+@pytest.mark.parametrize("max_toa", [3, 30])
+def test_tsc_windowed_matches_full(max_toa):
+    """The 52M 2·maxTOA+1-lag window (Transceiver52M/sigProcLib.cpp:
+    983-1000) must agree with the full-segment correlator for bursts
+    whose TOA is inside the window — detection, amplitude, and TOA."""
+    # maxTOA=3 leaves a 7-lag array: peaks within ~1 lag of its edge
+    # lose sinc taps to the same corrLen clipping the reference's
+    # interpolatePoint applies (sigProcLib.cpp:643-645), so the tight
+    # window is compared on interior delays only
+    delays = [0.0, 1.5, -1.0, 2.75] if max_toa >= 30 else \
+        [0.0, 1.5, -1.0, 1.25]
+    bursts = []
+    for d in delays:
+        _, b = make_normal_burst(0, seed=int(10 * d) + 50)
+        bursts.append(np.asarray(gmsk.delay_vector(b[None],
+                                                   jnp.array([d])))[0])
+    bursts = np.stack(bursts)
+    det_f, est_f, off_f = corr.analyze_traffic_burst(
+        bursts, 0, SPS, estimate_channel=True)
+    det_w, est_w, off_w = corr.analyze_traffic_burst(
+        bursts, 0, SPS, estimate_channel=True, max_toa=max_toa)
+    assert np.all(np.asarray(det_f.detected))
+    assert np.all(np.asarray(det_w.detected))
+    # window-edge effects: the short window clips interpolatePoint's
+    # 21-tap sinc at the array bound exactly like the reference's
+    # corrLen-bounded buffer (sigProcLib.cpp:643-645). At maxTOA=30 the
+    # peak sits deep inside → sub-1/128-sample agreement; at maxTOA=3
+    # every nonzero delay is within 2 lags of the bound → ~3% TOA /
+    # ~5% amplitude interpolation bias is inherent to the 7-lag window.
+    toa_tol, amp_tol = (1 / 128, 1e-2) if max_toa >= 30 else (0.05, 0.06)
+    np.testing.assert_allclose(np.asarray(det_w.toa),
+                               np.asarray(det_f.toa), atol=toa_tol)
+    np.testing.assert_allclose(np.asarray(det_w.amplitude),
+                               np.asarray(det_f.amplitude), atol=amp_tol)
+    # Channel-estimate parity: the two reference variants anchor their
+    # 7-window search differently (64M: template TOA + segment offset,
+    # a x.999 float; 52M: exactly maxTOA — sigProcLib.cpp:1046), so the
+    # floor()'d window grids sit ±1 apart and maxI/offset bookkeeping
+    # legitimately differs. The invariant is the selected window's
+    # CONTENT — the same absolute slice of the delayed correlation —
+    # which maxTOA=30's full-width window must reproduce. (maxTOA=3
+    # leaves a 7-lag array where most windows fail the reference's
+    # in-range guards; content parity is out of scope there, as it is
+    # in the reference.)
+    if max_toa >= 30:
+        np.testing.assert_allclose(np.asarray(est_w), np.asarray(est_f),
+                                   atol=2e-2)
+
+
+def test_tsc_windowed_rejects_out_of_window():
+    """A burst delayed past maxTOA cannot be found inside the restricted
+    window (the reference physically computes only those lags)."""
+    _, b = make_normal_burst(0)
+    delayed = np.asarray(gmsk.delay_vector(b[None], jnp.array([7.0])))[0]
+    det_w, _, _ = corr.analyze_traffic_burst(delayed[None], 0, SPS,
+                                             max_toa=3)
+    det_f, _, _ = corr.analyze_traffic_burst(delayed[None], 0, SPS)
+    assert bool(det_f.detected[0])  # the full window still sees it
+    assert abs(float(det_f.toa[0]) - 7.0) < 0.5
+    # windowed: either no detection, or a (sidelobe) peak with TOA
+    # bounded by the window — never the true out-of-window TOA
+    assert (not bool(det_w.detected[0])) or \
+        abs(float(det_w.toa[0])) <= 3.01
+
+
+def test_tsc_windowed_valley_count_semantics():
+    """maxTOA=3 leaves only 7 lags: the valley offsets ±(2..5) mostly
+    fall outside, and the in-range count must reflect the short window
+    (numRms guard, Transceiver52M/sigProcLib.cpp:1020-1031)."""
+    _, b = make_normal_burst(0)
+    det, _, _ = corr.analyze_traffic_burst(b[None], 0, SPS, max_toa=3)
+    # clean burst centered in a 7-lag window: peak at lag 3, valley
+    # samples at ±2, ±3 in range → detection still fires
+    assert bool(det.detected[0])
+    assert abs(float(det.toa[0])) < 0.5
+
+
 def test_energy_detect():
     x = np.ones((2, 157), np.complex64)
     x[1] *= 100.0

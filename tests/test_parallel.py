@@ -153,6 +153,49 @@ def test_sharded_pipeline_matches_serial():
                                atol=5e-3)
 
 
+def test_sharded_duplex_downlink_matches_serial():
+    """The time-sharded downlink leg (tx symbol-halo ring + per-shard
+    96/65 resample) must emit the same device-rate stream as the serial
+    full-window `downlink_block` — the tx mirror of the rx overlap-save
+    identity (sendHistory, Transceiver/radioInterface.cpp:123-186)."""
+    from openbts_ttsou_tpu.models.transceiver import UplinkSpec, downlink_block
+    from openbts_ttsou_tpu.parallel import sharded_duplex_pipeline
+
+    mesh = make_mesh(8)
+    n_time = mesh.shape["time"]
+    n = 4
+    cfg = TrxConfig(n_chan=n)
+    spec = ShardedPipelineSpec(n_chan_total=n, frames_per_shard=13)
+    frames_total = n_time * spec.frames_per_shard
+
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, (frames_total, n, 8, 148)).astype(np.uint8)
+    valid = rng.random((frames_total, n, 8)) < 0.6
+    atten = np.zeros((frames_total, n, 8), np.float32)
+    chan_type = np.full((n, 8), ChanType.I, np.int32)
+    state0 = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    ul = np.zeros((n, n_time * spec.block_in), np.complex64)
+    step = sharded_duplex_pipeline(mesh, cfg, spec)
+    state_sh = state_for_shards(state0, n_time)
+    _, res, tx_sh, clock = step(state_sh, jnp.asarray(ul),
+                                jnp.asarray(bits), jnp.asarray(valid),
+                                jnp.asarray(atten),
+                                jnp.asarray(0, jnp.int32))
+    tx_sh = np.asarray(tx_sh)
+    assert tx_sh.shape == (n, n_time * spec.block_in)
+    assert int(clock) == n_time * spec.block_in
+
+    serial_spec = UplinkSpec(frames=frames_total)
+    tx_serial = np.asarray(downlink_block(
+        cfg, serial_spec, state0, jnp.asarray(bits), jnp.asarray(valid),
+        jnp.asarray(atten), jnp.asarray(0, jnp.int32)))
+    scale = np.abs(tx_serial).max()
+    np.testing.assert_allclose(tx_sh, tx_serial, atol=2e-4 * scale)
+    # the rx leg still ran (no detections on silence, state advanced)
+    assert not np.asarray(res.detected).any()
+
+
 def test_cross_shard_state_carry():
     """The adaptive engine state must track the serial stream across
     sharded steps (the reference's single Transceiver walks energy

@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Mode × carriers bench sweep on the real TPU.
+
+Runs bench.py as a subprocess for every (mode, carriers) combination
+and writes the results to BENCH_r03_sweep.json at the repo root — the
+tracked artifact behind ARCHITECTURE.md's throughput table and the
+choice of bench.py's default mode (the driver records only one
+configuration; this sweep is the evidence for which one).
+
+    python tools/bench_sweep.py            # full sweep (~30 min cold)
+    python tools/bench_sweep.py --quick    # 128-carrier modes only
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_one(mode: str, carriers: int, iters: int) -> dict:
+    env = dict(os.environ, BENCH_MODE=mode, BENCH_CHANNELS=str(carriers),
+               BENCH_ITERS=str(iters))
+    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       env=env, capture_output=True, text=True,
+                       timeout=1500)
+    line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+    try:
+        return json.loads(line)
+    except json.JSONDecodeError:
+        return {"error": p.stderr[-400:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO,
+                                                  "BENCH_r03_sweep.json"))
+    args = ap.parse_args()
+
+    if args.quick:
+        grid = [(m, 128) for m in ("fast", "exact", "decoded", "downlink",
+                                   "duplex")]
+    else:
+        grid = ([(m, c) for m in ("fast", "exact")
+                 for c in (128, 512, 1024)]
+                + [("decoded", 128), ("downlink", 128), ("duplex", 128),
+                   ("duplex", 512)])
+
+    results = []
+    for mode, carriers in grid:
+        iters = 8 if carriers <= 256 else 4
+        print(f"[sweep] {mode} @ {carriers}...", file=sys.stderr,
+              flush=True)
+        r = run_one(mode, carriers, iters)
+        r["mode"], r["carriers"] = mode, carriers
+        results.append(r)
+        print(f"[sweep]   -> {r.get('value')} {r.get('unit', '')}",
+              file=sys.stderr, flush=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
