@@ -572,18 +572,25 @@ PACK_HDR = 8  # fn0 (4 bytes BE) + tx_fn0 (4 bytes BE)
 
 
 def pack_dl_buffer(bits: Array, valid: Array, gain: Array, fn0: int,
-                   tx_fn0: int) -> np.ndarray:
-    """Host side: dense downlink window → one uint8 buffer.
+                   tx_fn0: int,
+                   ul_i16: np.ndarray | None = None) -> np.ndarray:
+    """Host side: dense downlink window (+ optionally the uplink int16
+    samples) → ONE uint8 buffer — a single host→device DMA per block.
 
     bits [F, C, 8, 148] uint8, valid [F, C, 8] bool, gain [F, C, 8]
-    float (the wire's attenuation byte, driveTransmitPriorityQueue)."""
+    float (the wire's attenuation byte, driveTransmitPriorityQueue);
+    ul_i16 int16 [C, T, 2] ADC samples appended as raw bytes."""
     f, c = bits.shape[0], bits.shape[1]
     body = np.empty((f, c, 8, DL_ROW), np.uint8)
     body[..., :148] = bits
     body[..., 148] = valid
     body[..., 149] = np.asarray(gain, np.int64) & 0xFF
     hdr = np.frombuffer(np.array([fn0, tx_fn0], ">u4").tobytes(), np.uint8)
-    return np.concatenate([hdr, body.reshape(-1)])
+    parts = [hdr, body.reshape(-1)]
+    if ul_i16 is not None:
+        parts.append(np.ascontiguousarray(ul_i16, "<i2")
+                     .view(np.uint8).reshape(-1))
+    return np.concatenate(parts)
 
 
 def _be32(x: Array) -> Array:
@@ -594,24 +601,31 @@ def _be32(x: Array) -> Array:
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
-                        state: eng.TrxState, ul_i16: Array, tx_tail: Array,
-                        dl_buf: Array
+                        state: eng.TrxState, io_buf: Array,
+                        tx_tail: Array
                         ) -> tuple[eng.TrxState, Array, Array]:
-    """`duplex_block_wire` with single-buffer I/O: ul_i16 [C, T, 2]
-    int16, dl_buf 1-D uint8 from `pack_dl_buffer`. Returns
-    (state', tx_tail', out) with `out` a 1-D uint8 buffer laid out as
+    """`duplex_block_wire` with single-buffer I/O both ways: io_buf is
+    the 1-D uint8 buffer from `pack_dl_buffer(..., ul_i16=...)` —
+    header + downlink window + uplink int16 ADC bytes, ONE
+    host→device DMA. Returns (state', tx_tail', out) with `out` a 1-D
+    uint8 buffer laid out as
       [C·block_in·4]            tx int16 I/Q bytes (DAC format)
       [F·C·8·UL_PKT]            ready-to-send uplink datagrams
       [F·C·8]                   detection mask bytes
-    — parse with `unpack_block_result`."""
+    — one device→host DMA, parsed with `unpack_block_result`."""
     f, c = spec.frames, cfg.n_chan
-    hdr = dl_buf[:PACK_HDR].astype(jnp.int32)
+    hdr = io_buf[:PACK_HDR].astype(jnp.int32)
     fn0 = (hdr[0] << 24) | (hdr[1] << 16) | (hdr[2] << 8) | hdr[3]
     tx_fn0 = (hdr[4] << 24) | (hdr[5] << 16) | (hdr[6] << 8) | hdr[7]
-    body = dl_buf[PACK_HDR:].reshape(f, c, 8, DL_ROW)
+    dl_end = PACK_HDR + f * c * 8 * DL_ROW
+    body = io_buf[PACK_HDR:dl_end].reshape(f, c, 8, DL_ROW)
     bits = body[..., :148]
     valid = body[..., 148] > 0
     atten = body[..., 149].astype(jnp.float32)
+    t_halo = spec.block_in + 2 * RX_HALO_DEV
+    ul_i16 = jax.lax.bitcast_convert_type(
+        io_buf[dl_end: dl_end + c * t_halo * 4].reshape(c, t_halo, 2, 2),
+        jnp.int16)
     state = state._replace(fn=fn0)
     state2, tx, tail2, wire = duplex_block_wire(
         cfg, spec, state, ul_i16, tx_tail, bits, valid, atten, tx_fn0,

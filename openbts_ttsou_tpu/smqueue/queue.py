@@ -52,6 +52,10 @@ class ShortMsgState(enum.IntEnum):
 
 INITIAL_STATE = ShortMsgState.RequestFromAddressLookup
 
+#: shortcode handler sentinel: queue the message normally after all
+#: (the reference's SCA_TREAT_AS_ORDINARY, smcommands.cpp:54)
+TREAT_AS_ORDINARY = object()
+
 # The reference's full per-(from-state, to-state) timeout table
 # (smqueue.cpp:46-120), transcribed one-for-one. TIMEOUTS[a][b] is the
 # timeout (seconds) armed when a message moves from state a to state b;
@@ -182,17 +186,21 @@ class SMq:
                  resolve: Callable[[str], Optional[str]],
                  resolve_sender: Optional[Callable[[str], bool]] = None,
                  register_handset: Optional[Callable[[str], bool]] = None,
-                 local_host: str = "127.0.0.1", local_port: int = 5063):
+                 local_host: str = "127.0.0.1", local_port: int = 5063,
+                 hlr=None):
         """send(dest_uri_user, rendered_request): deliver a SIP MESSAGE;
         resolve(user): user/shortcode → registered destination user
         (the IMSI/SIP-URL lookup pair), or None if unknown;
         resolve_sender(user): from-address validation (True = known);
         register_handset(user): kick off handset registration for an
-        unregistered destination (the REGISTER_HANDSET flow)."""
+        unregistered destination (the REGISTER_HANDSET flow);
+        hlr: optional `control.hlr.HLR` behind the 101 registration
+        shortcode (my_hlr in smcommands.cpp)."""
         self._send = send
         self._resolve = resolve
         self._resolve_sender = resolve_sender or (lambda u: True)
         self._register_handset = register_handset
+        self.hlr = hlr
         self.local_host = local_host
         self.local_port = local_port
         self._heap: List[ShortMsg] = []
@@ -201,11 +209,151 @@ class SMq:
         self.install_default_shortcodes()
         self.delivered: List[ShortMsg] = []
         self.failed: List[ShortMsg] = []
+        self.quit_requested = False
 
-    # -- shortcode plugins (smcommands.cpp) ----------------------------
+    # -- shortcode plugins (smcommands.cpp:init_smcommands, :360-368) --
     def install_default_shortcodes(self) -> None:
-        self.shortcodes["411"] = lambda m: f"you are {m.frm}"
+        self.shortcodes["101"] = self._sc_register
+        self.shortcodes["411"] = self._sc_four_one_one
         self.shortcodes["666"] = lambda m: None  # blackhole test code
+        self.shortcodes["2336"] = self._sc_debug_dump
+        self.shortcodes["2337"] = self._sc_quick_chk
+        self.shortcodes["2338"] = self._sc_zap_queued
+        self.shortcodes["314158"] = self._sc_whiplash
+
+    def _sc_register(self, m: ShortMsg) -> Optional[str]:
+        """Phone-number self-registration (shortcode_register,
+        smcommands.cpp:225-358): parse the number, consult the HLR,
+        add the user. The sender user is the IMSI."""
+        phonenum, exclaim = [], 0
+        for ch in m.body:
+            if ch.isdigit():
+                phonenum.append(ch)
+            elif ch == "+":
+                if phonenum:
+                    return "Error: + can only be first"
+            elif ch in " ()\r\n":
+                continue
+            elif ch == "!":
+                exclaim += 1
+            else:
+                return f"Error: invalid '{ch}'."
+        num = "".join(phonenum)
+        if len(num) < 10 and exclaim != 3:
+            return ("Try again, give us a whole 10-digit phone number, "
+                    f"not just {num}")
+        if len(num) > 15 and exclaim != 3:
+            return ("Try again, give us a short (10-digit?) phone "
+                    f"number, not {num}")
+        if self.hlr is None:
+            return "Registration unavailable."
+        imsi = m.frm
+        existing = self.hlr.get_clid(imsi)
+        if existing:
+            if existing == num:
+                return (f"Welcome to the free cellular network, {num}. "
+                        "You may be able to make short outgoing calls "
+                        "if you dial 1.")
+            return f"Your phone is already registered as {existing}."
+        if self.hlr.get_imsi(num):
+            return (f"That phone number {num} is already in use.  Try "
+                    "another (then call that one to talk to whoever "
+                    "took yours).")
+        self.hlr.add_user(imsi, num)
+        if self._register_handset is not None:  # SCA_REGISTER flow
+            self._register_handset(imsi)
+        return (f"Welcome to the free cellular network, {num}. "
+                "You may be able to make short outgoing calls "
+                "if you dial 1.")
+
+    def _sc_four_one_one(self, m: ShortMsg) -> str:
+        """Queue status line (shortcode_four_one_one,
+        smcommands.cpp:80-151)."""
+        delivering = {ShortMsgState.RequestDestinationSipUrl,
+                      ShortMsgState.RequestMsgDelivery,
+                      ShortMsgState.AskedForMsgDelivery,
+                      ShortMsgState.AwaitingTryMsgDelivery}
+        registering = sum(1 for x in self._heap if x.state in (
+            ShortMsgState.AwaitingRegisterHandset,
+            ShortMsgState.RegisterHandset,
+            ShortMsgState.AskedToRegisterHandset))
+        bouncing = sum(1 for x in self._heap
+                       if x.state in delivering and x.frm == "411")
+        parts = [f"{len(self._heap)} queued"]
+        if registering:
+            parts.append(f"{registering} registering")
+        if bouncing:
+            parts.append(f"{bouncing} bouncing")
+        phonenum = self.hlr.get_clid(m.frm) if self.hlr else None
+        parts.append(m.frm)
+        parts.append(f"phonenum {phonenum}")
+        parts.append("at " + systime.strftime("%b %d %H:%M:%S"))
+        parts.append(f"'{m.body}'")
+        return ", ".join(parts)
+
+    def _sc_debug_dump(self, m: ShortMsg) -> None:
+        """debug_dump to the log, no reply (SCA_DONE)."""
+        for x in sorted(self._heap):
+            log.warning("DUMP tag=%d state=%s %s->%s %r", x.seq,
+                        sm_state_name(x.state), x.frm, x.to, x.body[:40])
+        return None
+
+    def _sc_quick_chk(self, m: ShortMsg) -> str:
+        return f"{len(self._heap)} queued."
+
+    def _sc_zap_queued(self, m: ShortMsg) -> Optional[str]:
+        """Delete a queued message by tag; '-' prefix = no reply;
+        '6000' = sweep NoState/huge-timeout messages
+        (shortcode_zap_queued, smcommands.cpp:162-222)."""
+        text = m.body.strip()
+        noreply = text.startswith("-")
+        if noreply:
+            text = text[1:]
+        if text == "6000":
+            now = systime.monotonic()
+            toolate = 5000 + (self._heap[0].next_action_time
+                              if self._heap else now)
+            keep = [x for x in self._heap
+                    if x.state != ShortMsgState.NoState
+                    and x.next_action_time < toolate]
+            n = len(self._heap) - len(keep)
+            self._heap = keep
+            heapq.heapify(self._heap)
+            return None if noreply else f"Removed {n} messages."
+        for x in self._heap:
+            if str(x.seq) == text:
+                self._heap.remove(x)
+                heapq.heapify(self._heap)
+                return None if noreply else (
+                    f"Deleting queued msg '{text}' in state "
+                    f"{int(x.state)} and timeout "
+                    f"{x.next_action_time - systime.monotonic():.0f}")
+        return None if noreply else \
+            f"No message queued with tag '{text}'."
+
+    def _sc_whiplash(self, m: ShortMsg):
+        """The 314158 maintenance code (whiplash_quit,
+        smcommands.cpp:35-55): 'Snidely quit' requests shutdown,
+        'Snidely testsave' snapshots the queue; anything else is an
+        ordinary message."""
+        if not m.body.startswith("Snidely "):
+            return TREAT_AS_ORDINARY
+        cmd = m.body[8:]
+        if cmd.startswith("quit"):
+            self.quit_requested = True
+            return None
+        if cmd.startswith("testsave"):
+            self.save_queue_to_file("testsave.txt")
+            return "Done."
+        return "Unknown Command"
+
+    def save_queue_to_file(self, path: str) -> int:
+        """Snapshot the queue (save_queue_to_file, smqueue.cpp): one
+        line per message — state, sender, recipient, body."""
+        with open(path, "w") as f:
+            for x in sorted(self._heap):
+                f.write(f"{int(x.state)} {x.frm} {x.to} {x.body!r}\n")
+        return len(self._heap)
 
     # -- ingress -------------------------------------------------------
     def submit(self, frm: str, to: str, body: str,
@@ -217,11 +365,12 @@ class SMq:
         handler = self.shortcodes.get(to)
         if handler is not None:
             reply = handler(msg)
-            msg.state = ShortMsgState.DeleteMeState
-            if reply is not None:
-                # shortcode response goes back to the sender
-                self.submit(to, frm, reply)
-            return msg
+            if reply is not TREAT_AS_ORDINARY:
+                msg.state = ShortMsgState.DeleteMeState
+                if reply is not None:
+                    # shortcode response goes back to the sender
+                    self.submit(to, frm, reply)
+                return msg
         heapq.heappush(self._heap, msg)
         return msg
 
@@ -285,8 +434,16 @@ class SMq:
             if st in (ShortMsgState.NoState,
                       ShortMsgState.RequestFromAddressLookup):
                 # annotate/verify the sender; unknown senders still
-                # forward (the reference only marks them)
+                # forward (the reference only marks them). With an HLR,
+                # rewrite IMSI-form senders to their caller ID (the
+                # reference's lookup_from_address getCLIDLocal rewrite)
                 self._resolve_sender(msg.frm)
+                if self.hlr is not None:
+                    imsi = (msg.frm[4:] if msg.frm.startswith("IMSI")
+                            else msg.frm)
+                    clid = self.hlr.get_clid(imsi)
+                    if clid:
+                        msg.frm = clid
                 msg.set_state(ShortMsgState.RequestDestinationImsi, now)
                 requeue.append(msg)
 

@@ -340,7 +340,7 @@ class BlockTrxDaemon(TrxDaemon):
     """
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
-                 block_frames: int = 13):
+                 block_frames: int = 13, pipeline_depth: int = 1):
         from openbts_ttsou_tpu.models.transceiver import UplinkSpec
 
         super().__init__(radio, cfg)
@@ -355,7 +355,12 @@ class BlockTrxDaemon(TrxDaemon):
         self._rx_block = 0
         self._tx_block = 0
         self._frames_since_late = 0
-        self._pending = None  # (out_buffer, rx_fn0, tx_block) in flight
+        #: blocks kept in flight on the device before retiring. Depth 1
+        #: overlaps host I/O with one device step (the reference's
+        #: thread overlap); deeper pipelines amortize high-latency
+        #: device attachments at the cost of `depth` blocks of latency.
+        self.pipeline_depth = pipeline_depth
+        self._pending: list = []  # (out_buffer, rx_fn0, tx_block)
         # Radio samples cross the host/device boundary as int16 I/Q —
         # the USRP sample format — with the float conversion fused into
         # the device program (the reference burns host CPU on exactly
@@ -465,33 +470,32 @@ class BlockTrxDaemon(TrxDaemon):
         self.stale_dumped += self.pending_tx.dump_stale(self.tx_fn)
         bits, valid, gain, _ = self.pending_tx.pop_block(
             self.tx_fn, f, self.cfg.n_arfcn)
-        dl_buf = pack_dl_buffer(bits, valid, gain, self.fn, self.tx_fn)
         ul = self._read_ul(self._rx_block)
-        # ONE host→device transfer per plane, one fused program, one
-        # packed result to fetch later: the device builds the uplink
-        # datagrams itself (duplex_block_packed)
+        io_buf = pack_dl_buffer(bits, valid, gain, self.fn, self.tx_fn,
+                                ul_i16=ul)
+        # ONE host→device transfer, one fused program, one packed
+        # result to fetch later: the device builds the uplink datagrams
+        # itself (duplex_block_packed)
         st, tail, out = duplex_block_packed(
-            self.engine_cfg, self.spec, self.state, device_put_safe(ul),
-            self._tx_tail, jnp.asarray(dl_buf))
+            self.engine_cfg, self.spec, self.state,
+            jnp.asarray(io_buf), self._tx_tail)
         self.state, self._tx_tail = st, tail
-        prev, self._pending = self._pending, (out, self.fn,
-                                              self._tx_block)
+        self._pending.append((out, self.fn, self._tx_block))
         self.fn = (self.fn + f) % HYPERFRAME
         self.tx_fn = (self.tx_fn + f) % HYPERFRAME
         self._rx_block += 1
         self._tx_block += 1
-        if prev is not None:
-            self._retire(prev)
+        while len(self._pending) > self.pipeline_depth:
+            self._retire(self._pending.pop(0))
         if (self.last_clock_fn is None or
                 (self.tx_fn - self.last_clock_fn) % HYPERFRAME
                 >= proto.CLOCK_PERIOD_FRAMES):
             self._send_clock()
 
     def flush(self) -> None:
-        """Retire the in-flight block (call once after the last step)."""
-        if self._pending is not None:
-            self._retire(self._pending)
-            self._pending = None
+        """Retire every in-flight block (call after the last step)."""
+        while self._pending:
+            self._retire(self._pending.pop(0))
 
     def run(self, max_frames: int | None = None) -> None:
         n = 0

@@ -683,3 +683,201 @@ def test_over_the_air_voice_call(rig):
             freed = True
             break
     assert freed, "SDCCH not reclaimed after MS DISC"
+
+
+def test_over_the_air_sms_via_smqueue(rig):
+    """The complete store-and-forward loop across BOTH daemons
+    (SMSControl.cpp:301,425 bridged by smqueue.cpp): the MS submits an
+    SMS over the air (MOSMSController → SIP MESSAGE), smqueue queues,
+    rewrites the sender via the HLR and forwards, the BTS ingests the
+    forwarded MESSAGE and pages the destination — which answers and
+    decodes the SMS-DELIVER off the air."""
+    import time as systime
+
+    from openbts_ttsou_tpu.control.common import ServiceType
+    from openbts_ttsou_tpu.smqueue import SMq
+    from openbts_ttsou_tpu.sms import messages as sms_m
+
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    app.control.hlr.add_user(IMSI, "5553000")  # self-addressed loop
+    ms = MS(radio, daemon, app.bts.bcc)
+    ms.l2_sms = L2LAPDm(c=0, sapi=3)
+    TEXT = "ping via smqueue"
+
+    # --- MO leg: RACH → SDCCH → CM Service (SMS) → CP-DATA -------------
+    fn_r = daemon.fn + 8
+    while fn_r % 51 not in range(14, 37):
+        fn_r += 1
+    ms.tx_rach(0x21, fn_r)
+    ia = None
+    fn = fn_r
+    while fn < fn_r + 160 and ia is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 6:
+                frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.ImmediateAssignment) and \
+                            msg.reference.ra == 0x21:
+                        ia = msg
+                        break
+            fn += 1
+    assert ia is not None, "no IA for the MO-SMS access"
+    sub = ia.channel.type_and_offset - 4
+    dl_map, ul_map = tdma.SDCCH_4[sub]
+
+    req = mm.CMServiceRequest(service_type=4,
+                              identity=l3c.MobileIdentity.imsi(IMSI))
+    ms.l2._send_u(FrameType.SABM, True, ms.l2.c, req.encode())
+    ms.l2.state = LAPDState.AwaitingEstablish
+    ul_fn = ms.tx_l2(ms.l2.take_l1_out()[0], ul_map, daemon.fn + 4)
+    fn_scan = daemon.fn - 10
+
+    def ms_drive(rounds, until=lambda: False):
+        nonlocal ul_fn, fn_scan
+        for _ in range(rounds):
+            pump(app, daemon)
+            while fn_scan < daemon.fn - 5:
+                if dl_map.reverse(fn_scan) == 0:
+                    frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                            fn_scan + 2, fn_scan + 3])
+                    if frame is not None:
+                        (ms.l2_sms if frame.sapi() == 3
+                         else ms.l2).write_low_side(frame)
+                fn_scan += 1
+            for l2 in (ms.l2, ms.l2_sms):
+                for out in l2.take_l1_out():
+                    ul_fn = ms.tx_l2(out, ul_map,
+                                     max(ul_fn, daemon.fn + 4))
+            if until():
+                return True
+        return until()
+
+    assert ms_drive(120, lambda: ms.l2.state == LAPDState.LinkEstablished)
+
+    # SAPI-3 link first (empty SABM), then the CP-DATA as segmented
+    # I-frames — a 36-byte CP PDU exceeds one frame's info field, the
+    # LAPDm segmentation case (GSML2LAPDm.h:167, sendMultiframeData)
+    ms.l2_sms._send_u(FrameType.SABM, True, ms.l2_sms.c)
+    ms.l2_sms.state = LAPDState.AwaitingEstablish
+    ul_fn = ms.tx_l2(ms.l2_sms.take_l1_out()[0], ul_map,
+                     max(ul_fn, daemon.fn + 4))
+    assert ms_drive(120,
+                    lambda: ms.l2_sms.state == LAPDState.LinkEstablished)
+
+    from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+
+    tl = sms_m.TLSubmit(mr=1, dest="5553000", text=TEXT)
+    rp = sms_m.RPData(reference=2, dest="170", tpdu=tl.encode(), mo=True)
+    cp = sms_m.CPData(ti=0, rpdu=rp.encode())
+    cp_bits = np.unpackbits(np.frombuffer(cp.encode(), np.uint8))
+    ms.l2_sms.write_high_side(L3Frame(cp_bits, Primitive.DATA))
+    assert ms_drive(160, lambda: bool(sip_out)), "no SIP MESSAGE out"
+    mo_msg = SIPMessage.parse(sip_out[-1])
+    assert mo_msg.method == "MESSAGE" and mo_msg.body == TEXT
+    assert mo_msg.uri_user("to") == "5553000"
+
+    # --- smqueue daemon: queue, sender rewrite, forward ----------------
+    forwarded = []
+    smq = SMq(send=lambda to, rendered: forwarded.append((to, rendered)),
+              resolve=lambda u: u if u == "5553000" else None,
+              hlr=app.control.hlr)
+    ok200 = smq.handle_sip_message(mo_msg)
+    assert ok200.status == 200
+    t0 = systime.monotonic()
+    for k in range(8):
+        smq.process_queue(t0 + k + 1)
+        if forwarded:
+            break
+    assert forwarded, "smqueue did not forward the MESSAGE"
+    to_user, rendered = forwarded[0]
+    assert to_user == "5553000"
+    mt_msg = SIPMessage.parse(rendered.encode())
+    assert mt_msg.body == TEXT
+    # sender rewritten from IMSI-form to the registered CLID
+    assert mt_msg.uri_user("from") == "5553000"
+
+    # --- BTS ingests the forwarded MESSAGE → pages the MS --------------
+    app._on_message(mt_msg)
+    t = app.control.transactions.find_by_imsi(
+        IMSI, services=(ServiceType.MobileTerminatedSMS,))
+    assert t is not None and t.message == TEXT
+
+    # --- MT leg over the air: page → RACH → DELIVER --------------------
+    ms2 = MS(radio, daemon, app.bts.bcc)
+    ms2.l2_sms = L2LAPDm(c=0, sapi=3)
+    page_id = None
+    fn = daemon.fn
+    guard = fn + 240
+    while fn < guard and page_id is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 12:
+                frame = ms2.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.PagingRequestType1):
+                        for ident in (msg.id1, msg.id2):
+                            if ident is not None and ident.kind != 0:
+                                page_id = ident
+                                break
+            fn += 1
+    assert page_id is not None, "no page for the forwarded SMS"
+
+    fn_r2 = daemon.fn + 8
+    while fn_r2 % 51 not in range(14, 37):
+        fn_r2 += 1
+    ms2.tx_rach(0x2D, fn_r2)
+    ia2 = None
+    fn = fn_r2
+    while fn < fn_r2 + 160 and ia2 is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 6:
+                frame = ms2.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.ImmediateAssignment) and \
+                            msg.reference.ra == 0x2D:
+                        ia2 = msg
+                        break
+            fn += 1
+    assert ia2 is not None, "no IA for the page answer"
+    sub2 = ia2.channel.type_and_offset - 4
+    dl2, ul2 = tdma.SDCCH_4[sub2]
+
+    resp = rr.PagingResponse(page_id)
+    ms2.l2._send_u(FrameType.SABM, True, ms2.l2.c, resp.encode())
+    ms2.l2.state = LAPDState.AwaitingEstablish
+    ul_fn2 = ms2.tx_l2(ms2.l2.take_l1_out()[0], ul2, daemon.fn + 4)
+
+    deliver = None
+    fn_scan2 = daemon.fn - 10
+    for _ in range(240):
+        pump(app, daemon)
+        while fn_scan2 < daemon.fn - 5:
+            if dl2.reverse(fn_scan2) == 0:
+                frame = ms2.rx_l2_block([fn_scan2, fn_scan2 + 1,
+                                         fn_scan2 + 2, fn_scan2 + 3])
+                if frame is not None:
+                    (ms2.l2_sms if frame.sapi() == 3
+                     else ms2.l2).write_low_side(frame)
+            fn_scan2 += 1
+        for l2 in (ms2.l2, ms2.l2_sms):
+            for out in l2.take_l1_out():
+                ul_fn2 = ms2.tx_l2(out, ul2, max(ul_fn2, daemon.fn + 4))
+        while (l3 := ms2.l2_sms.read_high_side()) is not None:
+            if len(l3.bits) >= 16:
+                cpm = sms_m.parse_cp(np.packbits(l3.bits).tobytes())
+                if isinstance(cpm, sms_m.CPData):
+                    rpm = sms_m.parse_rp(cpm.rpdu)
+                    if isinstance(rpm, sms_m.RPData):
+                        deliver = sms_m.TLDeliver.parse(rpm.tpdu)
+                        break
+        if deliver is not None:
+            break
+    assert deliver is not None, "forwarded SMS never delivered OTA"
+    assert deliver.text == TEXT
+    assert deliver.orig == "5553000"

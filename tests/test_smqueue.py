@@ -170,10 +170,13 @@ def test_registration_timeout_falls_back():
 def test_shortcode_handler(smq):
     m = smq.submit("1001", "411", "who am i")
     assert m.state == ShortMsgState.DeleteMeState
-    # the canned reply was queued back toward the sender
+    # the status reply was queued back toward the sender
+    # (shortcode_four_one_one, smcommands.cpp:80-151: queue counts,
+    # sender, phonenum, time, echoed text)
     assert smq.queue_size() == 1
     assert smq._heap[0].to == "1001"
-    assert "you are 1001" in smq._heap[0].body
+    body = smq._heap[0].body
+    assert "queued" in body and "1001" in body and "'who am i'" in body
 
 
 def test_sip_ingress(smq):
@@ -183,3 +186,99 @@ def test_sip_ingress(smq):
     resp = smq.handle_sip_message(SIPMessage.parse(req.render()))
     assert resp.status == 200
     assert smq.queue_size() == 1
+
+
+# -- the ported shortcode plugin set (smcommands.cpp:360-368) ----------
+
+@pytest.fixture
+def smq_hlr():
+    from openbts_ttsou_tpu.control.hlr import LocalHLR
+
+    sent = []
+    hlr = LocalHLR()
+    hlr.add_user("901550000000001", "5551234")
+    q = SMq(send=lambda to, req: sent.append((to, req)),
+            resolve=lambda user: None, hlr=hlr)
+    q._sent = sent
+    return q, hlr
+
+
+def _reply_to(smq, sender):
+    """The most recent queued reply addressed to `sender`."""
+    for m in sorted(smq._heap, key=lambda m: -m.seq):
+        if m.to == sender:
+            return m.body
+    return None
+
+
+def test_shortcode_101_register(smq_hlr):
+    """shortcode_register (smcommands.cpp:225-358): number parsing,
+    duplicate checks, HLR addUser."""
+    smq, hlr = smq_hlr
+    imsi = "901550000000002"
+    smq.submit(imsi, "101", "(555) 867 5309 12")
+    assert "Welcome to the free cellular network, 555867530912" in \
+        _reply_to(smq, imsi)
+    assert hlr.get_clid(imsi) == "555867530912"
+    # registering the same IMSI again: "already registered"
+    smq.submit(imsi, "101", "5550000000")
+    assert "already registered" in _reply_to(smq, imsi)
+    # someone else grabbing the same number: "already in use"
+    smq.submit("901550000000003", "101", hlr.get_clid(imsi))
+    assert "already in use" in _reply_to(smq, "901550000000003")
+    # malformed numbers
+    smq.submit("901550000000004", "101", "12ab34")
+    assert "invalid" in _reply_to(smq, "901550000000004")
+    smq.submit("901550000000005", "101", "123")
+    assert "10-digit" in _reply_to(smq, "901550000000005")
+    smq.submit("901550000000006", "101", "55+5")
+    assert "+ can only be first" in _reply_to(smq, "901550000000006")
+
+
+def test_shortcode_2337_quick_chk(smq):
+    smq.submit("1001", "2001", "hello")  # one real queued message
+    smq.submit("1001", "2337", "")
+    assert "1 queued." in _reply_to(smq, "1001")
+
+
+def test_shortcode_2338_zap(smq):
+    m = smq.submit("1001", "2001", "hello")
+    tag = str(m.seq)
+    smq.submit("1001", "2338", "nosuch")
+    assert "No message queued with tag 'nosuch'" in _reply_to(smq, "1001")
+    smq.submit("1001", "2338", tag)
+    assert not any(x.seq == m.seq for x in smq._heap)
+    assert "Deleting queued msg" in _reply_to(smq, "1001")
+    # '-' prefix: act silently
+    m2 = smq.submit("1001", "2001", "hello2")
+    n_before = smq.queue_size()
+    smq.submit("1001", "2338", f"-{m2.seq}")
+    assert smq.queue_size() == n_before - 1  # removed, no reply queued
+
+
+def test_shortcode_314158_whiplash(smq):
+    smq.submit("1001", "314158", "Snidely quit")
+    assert smq.quit_requested
+    # non-Snidely traffic to the code queues as an ordinary message
+    n0 = smq.queue_size()
+    m = smq.submit("1001", "314158", "ordinary text")
+    assert smq.queue_size() == n0 + 1
+    assert m.state == INITIAL_STATE
+    smq.submit("1001", "314158", "Snidely frobnicate")
+    assert "Unknown Command" in _reply_to(smq, "1001")
+
+
+def test_shortcode_testsave(tmp_path, smq, monkeypatch):
+    smq.submit("1001", "2001", "keep me")
+    monkeypatch.chdir(tmp_path)
+    smq.submit("1001", "314158", "Snidely testsave")
+    assert "Done." in _reply_to(smq, "1001")
+    saved = (tmp_path / "testsave.txt").read_text()
+    assert "keep me" in saved
+
+
+def test_shortcode_2336_debug_dump(smq):
+    smq.submit("1001", "2001", "queued thing")
+    n0 = smq.queue_size()
+    smq.submit("1001", "2336", "")
+    assert smq.queue_size() == n0  # SCA_DONE: no reply queued

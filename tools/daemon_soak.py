@@ -44,8 +44,11 @@ def build_uplink_bank(n_chan: int, frames: int):
     from openbts_ttsou_tpu.utils import constants as C
     from openbts_ttsou_tpu.utils.xfer import device_get_safe, device_put_safe
 
+    # one carrier's stream, resampled once, broadcast to n_chan (every
+    # carrier carries the same air pattern — detection work per carrier
+    # is identical either way, and the relay roundtrip stays small)
     rng = np.random.default_rng(0)
-    sym = np.zeros((n_chan, frames * 1250), np.complex64)
+    sym = np.zeros((1, frames * 1250), np.complex64)
     offs = np.concatenate([[0], np.cumsum([157, 156, 156, 156] * 2)])[:8]
     for tn in range(1, 8):
         b = np.concatenate(
@@ -59,7 +62,11 @@ def build_uplink_bank(n_chan: int, frames: int):
     dev = device_get_safe(jax.jit(
         lambda s: fir.polyphase_resample(s, 96, 65, lpf))(
             device_put_safe(sym)))[:, : frames * 1250 * 96 // 65]
-    return np.pad(dev, ((0, 0), (0, 512)))
+    # NO pad: the replay tiles modulo its length, and the bank is
+    # seamlessly periodic only when the period is exactly the
+    # whole-frame device length (a pad shifts every frame after the
+    # first wrap and detections die)
+    return np.broadcast_to(dev, (n_chan, dev.shape[1])).copy()
 
 
 def main():
@@ -68,6 +75,14 @@ def main():
     ap.add_argument("--blocks", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--base-port", type=int, default=36700)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="device pipeline depth (blocks in flight); 2 "
+                    "amortizes the relay's per-transfer RTT")
+    ap.add_argument("--block-frames", type=int, default=13,
+                    help="frames per device block (13-multiples); "
+                    "bigger blocks amortize per-transfer latency at "
+                    "the cost of block latency (the reference's chunk-"
+                    "size knob, radioInterface.h:40-41)")
     args = ap.parse_args()
 
     import jax
@@ -88,9 +103,11 @@ def main():
     n = args.carriers
     log(f"devices={jax.devices()} carriers={n} blocks={args.blocks}")
     log("building uplink bank")
-    bank = ReplayBankRadio(build_uplink_bank(n, 13 * 4))
+    bf = args.block_frames
+    bank = ReplayBankRadio(build_uplink_bank(n, 4 * bf))
     daemon = BlockTrxDaemon(
-        bank, TrxDaemonConfig(base_port=args.base_port, n_arfcn=n))
+        bank, TrxDaemonConfig(base_port=args.base_port, n_arfcn=n),
+        block_frames=args.block_frames, pipeline_depth=args.depth)
 
     peer = args.base_port + 100
     clock = UdpTransport(peer, "127.0.0.1", args.base_port)
@@ -116,8 +133,8 @@ def main():
 
     # ---- soak loop -----------------------------------------------------
     rng = np.random.default_rng(7)
-    dl_bits = rng.integers(0, 2, (13, 8, 148)).astype(np.uint8)
-    dl_valid = np.ones((13, 8), bool)
+    dl_bits = rng.integers(0, 2, (bf, 8, 148)).astype(np.uint8)
+    dl_valid = np.ones((bf, 8), bool)
     beacons, ul_pkts, dl_pkts = 0, 0, 0
     feed_fn = None
     t_timed = 0.0
@@ -140,7 +157,7 @@ def main():
             for i in range(n):
                 data[i].send_batch(pkts)
                 dl_pkts += pkts.shape[0]
-            feed_fn = (feed_fn + 13) % HYPERFRAME
+            feed_fn = (feed_fn + bf) % HYPERFRAME
         for i in range(n):
             got = data[i].drain_fixed(proto.UPLINK_LEN, 2048)
             ul_pkts += got.shape[0]
@@ -157,9 +174,9 @@ def main():
     t_timed = time.perf_counter() - t0
     pump(total_blocks)
 
-    frames = args.blocks * 13
+    frames = args.blocks * bf
     ms_per_frame = t_timed / frames * 1e3
-    expected_det_per_block = 13 * n * 7
+    expected_det_per_block = bf * n * 7
     result = {
         "metric": "daemon_soak_ms_per_frame",
         "value": round(ms_per_frame, 3),
@@ -186,4 +203,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon relay occasionally wedges an in-flight op (see
+    # bench.py's identical guard): watchdog each attempt and retry in
+    # a FRESH process (the wedged client never recovers in-process).
+    import signal
+    import subprocess
+
+    if os.environ.get("SOAK_CHILD"):
+        def _alarm(signum, frame):
+            raise TimeoutError("soak watchdog fired (relay hang)")
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("SOAK_ATTEMPT_TIMEOUT", "900")))
+        main()
+    else:
+        for attempt in range(3):
+            env = dict(os.environ, SOAK_CHILD="1")
+            rc = subprocess.call([sys.executable] + sys.argv, env=env)
+            if rc == 0:
+                break
+            log(f"attempt {attempt} failed rc={rc}; retrying")
+        else:
+            sys.exit(1)

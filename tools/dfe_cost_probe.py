@@ -40,6 +40,7 @@ def main():
     from openbts_ttsou_tpu.models.transceiver import UplinkSpec, uplink_block
     from openbts_ttsou_tpu.trx import TrxConfig
     from openbts_ttsou_tpu.trx import engine as eng
+    from openbts_ttsou_tpu.utils import constants as C
     from openbts_ttsou_tpu.utils.xfer import device_put_safe
 
     chans = [int(a) for a in sys.argv[1:]] or [128, 512, 1024]
@@ -74,6 +75,17 @@ def main():
         samples = (rng.standard_normal((c, spec.block_in)) * 100.0
                    + 1j * rng.standard_normal((c, spec.block_in)) * 100.0
                    ).astype(np.complex64)
+        # The "on" measurement needs use_dfe to hold for the whole
+        # block, which requires chan_valid to survive: a failed TSC
+        # detection only clears it when the ENERGY gate fired
+        # (engine.py chan_valid update), so the noise power must stay
+        # under the initial threshold² or the probe silently measures
+        # the dfe-off path while claiming "on".
+        noise_pwr = float(np.mean(np.abs(samples) ** 2))
+        assert noise_pwr < 0.5 * C.INITIAL_ENERGY_THRESHOLD ** 2, (
+            f"noise power {noise_pwr:.0f} too close to the energy "
+            f"gate {C.INITIAL_ENERGY_THRESHOLD ** 2:.0f}; the DFE-on "
+            "leg would lose chan_valid mid-block")
         # NB: keep samples as a host np array — jnp.asarray would ship
         # complex64 over the relay boundary and wedge the device queue.
         dev = device_put_safe(samples)
