@@ -136,8 +136,12 @@ def main():
     from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
     from openbts_ttsou_tpu.utils import constants as C
 
-    log(f"devices={jax.devices()} mode={mode} chan={n_chan} iters={iters}")
-    cfg = TrxConfig(n_chan=n_chan)
+    # BENCH_MAX_TOA=<symbols> applies the 52M windowed TSC correlation
+    # (2·maxTOA+1 lags) — the SETMAXDELAY-driven compute win
+    max_toa = int(os.environ.get("BENCH_MAX_TOA", "0")) or None
+    log(f"devices={jax.devices()} mode={mode} chan={n_chan} "
+        f"iters={iters} max_toa={max_toa}")
+    cfg = TrxConfig(n_chan=n_chan, max_toa=max_toa)
     spec = UplinkSpec(frames=13)
 
     chan_type = np.zeros((n_chan, 8), np.int32)
@@ -325,6 +329,7 @@ def main():
             "seconds": round(dt, 4),
             "fetch_rtt_s": round(fetch_rtt, 4),
             "detections_last_block": detected,
+            "max_toa": max_toa,
             "cpu_baseline_Msps": round(baseline_sps / 1e6, 3),
             "cpu_baseline_harness": baseline_harness,
             "mirror_baseline_Msps": round(mirror_sps / 1e6, 3),

@@ -59,3 +59,32 @@ def test_two_process_pipeline(devices_per_proc):
         assert r["mismatches"] == 0
     # both processes saw detections in their own shards
     assert all(r["local_hits"] > 0 for r in results)
+
+
+def test_two_process_duplex_pipeline():
+    """The full-duplex sharded step across two OS processes: the tx
+    symbol-halo ring and the rx halos both ride the cross-process
+    transport; every process verifies its addressable TX shards against
+    the serial modulator and its RX shards against the serial engine."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["WORKER_DUPLEX"] = "1"
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, "3"], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"
+        results.append(json.loads(out.strip().splitlines()[-1]))
+    for r in results:
+        assert r["duplex"] and r["ok"], r
+        assert r["mismatches"] == 0
+        assert r["local_hits"] > 0

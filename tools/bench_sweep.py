@@ -20,9 +20,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_one(mode: str, carriers: int, iters: int) -> dict:
+def run_one(mode: str, carriers: int, iters: int,
+            max_toa: int = 0) -> dict:
     env = dict(os.environ, BENCH_MODE=mode, BENCH_CHANNELS=str(carriers),
-               BENCH_ITERS=str(iters))
+               BENCH_ITERS=str(iters), BENCH_MAX_TOA=str(max_toa))
     p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True,
                        timeout=1500)
@@ -41,21 +42,32 @@ def main():
     args = ap.parse_args()
 
     if args.quick:
-        grid = [(m, 128) for m in ("fast", "exact", "decoded", "downlink",
-                                   "duplex")]
+        grid = [(m, 128, 0) for m in ("fast", "exact", "decoded",
+                                      "downlink", "duplex")]
     else:
-        grid = ([(m, c) for m in ("fast", "exact")
+        grid = ([(m, c, 0) for m in ("fast", "exact")
                  for c in (128, 512, 1024)]
-                + [("decoded", 128), ("downlink", 128), ("duplex", 128),
-                   ("duplex", 512)])
+                + [("decoded", 128, 0), ("downlink", 128, 0),
+                   ("duplex", 128, 0), ("duplex", 512, 0),
+                   # the SETMAXDELAY windowed-correlation compute win
+                   ("fast", 1024, 4)])
 
     results = []
-    for mode, carriers in grid:
+    for mode, carriers, max_toa in grid:
         iters = 8 if carriers <= 256 else 4
-        print(f"[sweep] {mode} @ {carriers}...", file=sys.stderr,
-              flush=True)
-        r = run_one(mode, carriers, iters)
+        print(f"[sweep] {mode} @ {carriers} max_toa={max_toa}...",
+              file=sys.stderr, flush=True)
+        # a wedged relay attachment never recovers in-process; a fresh
+        # bench.py subprocess does (same pattern as daemon_soak)
+        for attempt in range(3):
+            r = run_one(mode, carriers, iters, max_toa)
+            if "error" not in r and r.get("value"):
+                break
+            print(f"[sweep]   attempt {attempt} failed; retrying",
+                  file=sys.stderr, flush=True)
         r["mode"], r["carriers"] = mode, carriers
+        if max_toa:
+            r["max_toa"] = max_toa
         results.append(r)
         print(f"[sweep]   -> {r.get('value')} {r.get('unit', '')}",
               file=sys.stderr, flush=True)

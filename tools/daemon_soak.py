@@ -163,9 +163,14 @@ def main():
             ul_pkts += got.shape[0]
 
     total_blocks = args.warmup + args.blocks
+    stale0 = underrun0 = 0
     for b in range(total_blocks):
         if b == args.warmup:
             t0 = time.perf_counter()
+            # warmup (compile) blocks run far slower than the clock
+            # lead assumes; their stale/underrun churn isn't steady
+            # state, so report the timed window's deltas
+            stale0, underrun0 = daemon.stale_dumped, daemon.underruns
         pump(b)
         daemon.step()
         if b == args.warmup - 1:
@@ -190,8 +195,8 @@ def main():
             "downlink_datagrams": dl_pkts,
             "expected_uplink_per_block": expected_det_per_block,
             "clock_beacons": beacons,
-            "stale_dumped": daemon.stale_dumped,
-            "underruns": daemon.underruns,
+            "stale_dumped": daemon.stale_dumped - stale0,
+            "underruns": daemon.underruns - underrun0,
             "clock_lead": daemon.clock_lead,
             "device": str(jax.devices()[0]),
         },

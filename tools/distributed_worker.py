@@ -47,6 +47,7 @@ def main() -> int:
     from openbts_ttsou_tpu.parallel.sharded import (
         ShardedPipelineSpec,
         _slot_windows,
+        sharded_duplex_pipeline,
         sharded_uplink_pipeline,
         state_for_shards,
         state_partition_specs,
@@ -55,6 +56,7 @@ def main() -> int:
     from openbts_ttsou_tpu.utils import constants as C
 
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    duplex = os.environ.get("WORKER_DUPLEX", "") == "1"
     pid = jax.process_index()
     nproc = jax.process_count()
     devs = jax.devices()  # global, across processes
@@ -110,7 +112,32 @@ def main() -> int:
         gput, state_for_shards(jax.tree.map(np.asarray, state0), n_time),
         state_partition_specs())
 
-    step_fn = sharded_uplink_pipeline(mesh, cfg, spec, carry_state=True)
+    if duplex:
+        # tx window bits identical in every process; the serial tx
+        # reference for shard verification
+        from openbts_ttsou_tpu.models.transceiver import (
+            UplinkSpec,
+            downlink_block,
+        )
+
+        rng2 = np.random.default_rng(11)
+        dl_bits_all = rng2.integers(
+            0, 2, (frames_total, 1, 8, 148)).astype(np.uint8)
+        dl_valid_all = rng2.random((frames_total, 1, 8)) < 0.6
+        dl_atten_all = np.zeros((frames_total, 1, 8), np.float32)
+        tx_serial = []
+        for s in range(steps):
+            sl = slice(s * frames_step, (s + 1) * frames_step)
+            tx_serial.append(np.asarray(downlink_block(
+                cfg, UplinkSpec(frames=frames_step), state0,
+                jnp.asarray(dl_bits_all[sl]), jnp.asarray(dl_valid_all[sl]),
+                jnp.asarray(dl_atten_all[sl]),
+                jnp.asarray(s * frames_step, jnp.int32))))
+        step_fn = sharded_duplex_pipeline(mesh, cfg, spec,
+                                          carry_state=True)
+    else:
+        step_fn = sharded_uplink_pipeline(mesh, cfg, spec,
+                                          carry_state=True)
     block = n_time * spec.block_in
 
     ok = True
@@ -123,8 +150,25 @@ def main() -> int:
                  P("chan", "time"))
         fn0 = jnp.asarray(s * frames_step, jnp.int32)
         t0 = time.perf_counter()
-        state_sh, res, clock = step_fn(state_sh, x, fn0)
-        jax.block_until_ready(res.detected)
+        if duplex:
+            sl = slice(s * frames_step, (s + 1) * frames_step)
+            state_sh, res, tx, clock = step_fn(
+                state_sh, x, gput(dl_bits_all[sl], P("time", "chan")),
+                gput(dl_valid_all[sl], P("time", "chan")),
+                gput(dl_atten_all[sl], P("time", "chan")), fn0)
+            jax.block_until_ready((res.detected, tx))
+            # verify addressable TX shards against the serial modulator
+            scale = np.abs(tx_serial[s]).max() or 1.0
+            for shard in tx.addressable_shards:
+                got = np.asarray(shard.data)
+                want = tx_serial[s][shard.index]
+                bad = ~np.isclose(got, want, atol=2e-4 * scale)
+                if bad.any():
+                    ok = False
+                    mismatches += int(bad.sum())
+        else:
+            state_sh, res, clock = step_fn(state_sh, x, fn0)
+            jax.block_until_ready(res.detected)
         dt = time.perf_counter() - t0
         if s == 0:
             t_compile = dt
@@ -145,6 +189,7 @@ def main() -> int:
 
     print(json.dumps({
         "process": pid, "n_processes": nproc, "n_devices": n_time,
+        "duplex": duplex,
         "ok": ok, "mismatches": mismatches, "local_hits": hits,
         "clock": clock_vals[0],
         "steps": steps,
