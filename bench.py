@@ -106,10 +106,15 @@ def log(msg):
 def main():
     import numpy as np
 
-    n_chan = int(os.environ.get("BENCH_CHANNELS", "128"))
+    # Defaults follow BENCH_r03_sweep.json (tools/bench_sweep.py): the
+    # exact per-frame engine — the faithful mode, the live daemon's
+    # frame-walk semantics — measures FASTER than the throughput-block
+    # mode at every carrier count (1422 vs 814 Msps at 512 carriers),
+    # so the driver-recorded default is the best faithful configuration.
+    n_chan = int(os.environ.get("BENCH_CHANNELS", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     # fast | exact | decoded (uplink) | downlink | duplex
-    mode = os.environ.get("BENCH_MODE", "fast")
+    mode = os.environ.get("BENCH_MODE", "exact")
 
     baseline_sps, baseline_harness, mirror_sps = measure_cpu_baseline(mode)
 
@@ -139,9 +144,18 @@ def main():
     # BENCH_MAX_TOA=<symbols> applies the 52M windowed TSC correlation
     # (2·maxTOA+1 lags) — the SETMAXDELAY-driven compute win
     max_toa = int(os.environ.get("BENCH_MAX_TOA", "0")) or None
+    # BENCH_RACH_SLOTS: comma-separated TNs that can carry RACH, or
+    # "all" for the dense engine (the default: measured FASTER than the
+    # restricted path at production carrier counts — 1526 vs 1346 Msps
+    # at exact@512 — because the full [C·8]-burst batch keeps the VPU
+    # lanes full where the per-slot slice leaves them under-occupied).
+    rs_env = os.environ.get("BENCH_RACH_SLOTS", "all")
+    rach_slots = None if rs_env == "all" else tuple(
+        int(t) for t in rs_env.split(","))
     log(f"devices={jax.devices()} mode={mode} chan={n_chan} "
-        f"iters={iters} max_toa={max_toa}")
-    cfg = TrxConfig(n_chan=n_chan, max_toa=max_toa)
+        f"iters={iters} max_toa={max_toa} rach_slots={rach_slots}")
+    cfg = TrxConfig(n_chan=n_chan, max_toa=max_toa,
+                    rach_slots=rach_slots)
     spec = UplinkSpec(frames=13)
 
     chan_type = np.zeros((n_chan, 8), np.int32)
@@ -209,8 +223,13 @@ def main():
                 del samples
 
                 def body(fn, _):
+                    # perturb the gains by the loop counter: tx_step
+                    # ignores fn, so an unperturbed body is
+                    # loop-invariant and XLA hoists the entire block
+                    # out of the scan (measured dt ≈ 0 at any length)
+                    a = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
                     tx = downlink_block(cfg, spec, state, dl_bits,
-                                        dl_valid, dl_atten, fn)
+                                        dl_valid, a, fn)
                     return fn + spec.frames, (jnp.sum(jnp.real(tx[..., 0])),
                                               jnp.sum(dl_valid))
                 _, (probes, dets) = lax.scan(
@@ -232,9 +251,16 @@ def main():
 
                 def body(carry, _):
                     st, tail, fn = carry
+                    # carrier roll + gain perturbation defeat
+                    # loop-invariant hoisting of the rx resample
+                    # front-end and the whole tx modulate+resample leg
+                    # (tx_step is fn-independent; see the uplink and
+                    # downlink modes)
+                    ul = jnp.roll(ul_i16, fn % 3, axis=0)
+                    da = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
                     st2, tx, tail2, wire = duplex_block_wire(
-                        cfg, spec, st, ul_i16, tail, dl_bits, dl_valid,
-                        dl_atten, fn, True)
+                        cfg, spec, st, ul, tail, dl_bits, dl_valid,
+                        da, fn, True)
                     probe = (jnp.sum(wire.soft_u8[..., 0].astype(
                         jnp.int32)) + jnp.sum(tx[:, 0, :].astype(
                             jnp.int32)))
@@ -254,7 +280,14 @@ def main():
             @jax.jit
             def fused(state, samples):
                 def body(st, _):
-                    out = block_fn(cfg, spec, st, samples)
+                    # rotate the carrier axis by the (carried) frame
+                    # counter: with loop-invariant samples XLA hoists
+                    # the whole 961-tap resampler out of the scan and
+                    # the bench times a chain that skips it (measured
+                    # +12% at exact@512). The roll forces every block
+                    # to ingest "new" data, as streaming does.
+                    s = jnp.roll(samples, st.fn % 3, axis=0)
+                    out = block_fn(cfg, spec, st, s)
                     st, res = out[0], out[1]
                     probe = jnp.sum(res.soft_bits[..., 0])
                     if mode == "decoded":  # include FEC output
@@ -330,6 +363,7 @@ def main():
             "fetch_rtt_s": round(fetch_rtt, 4),
             "detections_last_block": detected,
             "max_toa": max_toa,
+            "rach_slots": rs_env,
             "cpu_baseline_Msps": round(baseline_sps / 1e6, 3),
             "cpu_baseline_harness": baseline_harness,
             "mirror_baseline_Msps": round(mirror_sps / 1e6, 3),

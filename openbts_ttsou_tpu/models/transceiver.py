@@ -107,11 +107,16 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
     has_energy, _ = xcorr.energy_detect(bursts, 20 * sps, thr)
 
     tsc_flat = jnp.tile(jnp.repeat(state.tsc, 8), f)
+    # estimation tail gated like the exact engine: only slots with
+    # SETMAXDELAY > 1 ever consume a channel estimate (needDFE,
+    # Transceiver.cpp:311-330)
     det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
         bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
-        estimate_channel=True, max_toa=cfg.max_toa)
-    det_rach = xcorr.detect_rach(bursts, sps,
-                                 threshold=cfg.rach_threshold)
+        estimate_channel=True, max_toa=cfg.max_toa,
+        gate_estimation=jnp.any(state.max_expected_delay > 1))
+    det_rach = eng._detect_rach_slots(
+        wins.reshape(f * c, 8, wins.shape[-1]), sps, cfg.rach_threshold,
+        cfg.rach_slots)
 
     success = has_energy & jnp.where(
         is_tsc, det_tsc.detected,
@@ -167,7 +172,11 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
     # (chan, slot) updates the channel/DFE state; thresholds get the
     # net block adjustment
     succ_f = success.reshape(f, c, 8)
-    est_ok = (det_tsc.detected & is_tsc & has_energy).reshape(f, c, 8)
+    # need_dfe mask keeps the gated-off estimation tail (zeros) from
+    # overwriting live channel state: a channel only consumes estimates
+    # when SETMAXDELAY > 1, exactly when the gate is open
+    est_ok = (det_tsc.detected & is_tsc & has_energy &
+              need_dfe).reshape(f, c, 8)
     last = jnp.argmax(jnp.cumsum(est_ok, axis=0) *
                       est_ok, axis=0)  # last True index (0 if none)
     any_est = est_ok.any(axis=0)
@@ -197,10 +206,16 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
     snr_new = (jnp.abs(amp_sel) ** 2 /
                (pick(thr) ** 2 + 1.0)).reshape(c, 8)
     # symbol-rate DFE design (see trx/engine.py: the reference's
-    # designDFE/equalizeBurst are symbol-rate constructs)
-    w_new, b_new = dfe_mod.design_dfe(chan_norm[..., ::sps],
-                                      jnp.maximum(snr_new.reshape(-1),
-                                                  1e-6), eng.DFE_NF)
+    # designDFE/equalizeBurst are symbol-rate constructs), gated with
+    # the estimation tail
+    w_new, b_new = jax.lax.cond(
+        jnp.any(state.max_expected_delay > 1),
+        lambda _: dfe_mod.design_dfe(
+            chan_norm[..., ::sps],
+            jnp.maximum(snr_new.reshape(-1), 1e-6), eng.DFE_NF),
+        lambda _: (jnp.zeros((c * 8, eng.DFE_NF), jnp.complex64),
+                   jnp.zeros((c * 8, eng.CHAN_TAPS - 1), jnp.complex64)),
+        operand=None)
 
     def upd(old, new):
         m = any_est.reshape((c, 8) + (1,) * (old.ndim - 2))
@@ -278,10 +293,10 @@ class DecodedBlocks(NamedTuple):
     tch_valid: Array
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
 def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                          state: eng.TrxState, samples: Array,
-                         bsic: int = 0
+                         bsic: int = 0, exact: bool = True
                          ) -> tuple[eng.TrxState, eng.RxResult,
                                     DecodedBlocks]:
     """Full TPU-resident receiver: device-rate IQ → detection/demod →
@@ -298,7 +313,10 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     from openbts_ttsou_tpu.gsm import l1fec
 
     fn0 = state.fn
-    new_state, res = uplink_block_fast(cfg, spec, state, samples)
+    if exact:
+        new_state, res = uplink_block(cfg, spec, state, samples)
+    else:
+        new_state, res = uplink_block_fast(cfg, spec, state, samples)
     return new_state, res, decode_block(res, fn0, spec.frames, bsic)
 
 
@@ -492,11 +510,12 @@ class WireBlock(NamedTuple):
     timing: Array  # [F, C, 8] int32 (1/256 symbol)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10))
 def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
                       state: eng.TrxState, ul_halo: Array, tx_tail: Array,
                       dl_bits: Array, dl_valid: Array, dl_atten: Array,
-                      tx_fn0: Array, io_i16: bool = False
+                      tx_fn0: Array, io_i16: bool = False,
+                      exact: bool = True
                       ) -> tuple[eng.TrxState, Array, Array, WireBlock]:
     """One fused streaming-duplex block: modulate + 96/65-resample the
     downlink window AND detect/demodulate the uplink window, with exact
@@ -520,6 +539,16 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     on exactly this in USRPifyVector/unUSRPifyVector,
     Transceiver52M/radioInterface.cpp:101-146; on TPU it is a free
     fused op and halves the PCIe bytes).
+
+    exact (static, default True): walk the uplink window frame by frame
+    with `rx_step` — the reference's exact pullRadioVector semantics
+    (per-frame threshold walk, 50-frame channel aging). Measured FASTER
+    than the once-per-block `process_block_fast` refresh at every
+    carrier count (BENCH_r03_sweep.json: 1422 vs 814 Msps at 512
+    carriers — the per-frame working set stays on-chip where the
+    13-frame batch streams its 13×-larger intermediates through HBM),
+    so the faithful mode is also the throughput mode. False keeps the
+    block-refresh variant (its drift envelope: tests/test_fast_drift).
     """
     from openbts_ttsou_tpu.parallel.halo import resample_block
 
@@ -551,8 +580,15 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     lpf_rx = fir.resampler_lpf(spec.p, spec.q, spec.taps)
     sym_ul = resample_block(ul_halo, spec.p, spec.q, lpf_rx, RX_HALO_DEV,
                             spec.block_in)
-    state2, res = process_block_fast(cfg, frames, state,
-                                     sym_ul[..., : spec.block_symbols])
+    if exact:
+        from openbts_ttsou_tpu.parallel.sharded import _slot_windows
+
+        wins = _slot_windows(sym_ul[..., : spec.block_symbols], frames)
+        state2, res = lax.scan(
+            lambda st, fr: eng.rx_step(cfg, st, fr), state, wins)
+    else:
+        state2, res = process_block_fast(cfg, frames, state,
+                                         sym_ul[..., : spec.block_symbols])
     soft_u8 = jnp.clip(jnp.round(res.soft_bits * 255.0), 0.0, 255.0
                        ).astype(jnp.uint8)
     wire = WireBlock(res.detected, soft_u8, res.rssi, res.timing)
@@ -599,10 +635,10 @@ def _be32(x: Array) -> Array:
     return jnp.stack(sh, axis=-1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
                         state: eng.TrxState, io_buf: Array,
-                        tx_tail: Array
+                        tx_tail: Array, exact: bool = True
                         ) -> tuple[eng.TrxState, Array, Array]:
     """`duplex_block_wire` with single-buffer I/O both ways: io_buf is
     the 1-D uint8 buffer from `pack_dl_buffer(..., ul_i16=...)` —
@@ -629,7 +665,7 @@ def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
     state = state._replace(fn=fn0)
     state2, tx, tail2, wire = duplex_block_wire(
         cfg, spec, state, ul_i16, tx_tail, bits, valid, atten, tx_fn0,
-        True)
+        True, exact)
 
     # device-side datagram assembly (the bytes of protocol.pack_uplink;
     # driveReceiveFIFO serialization, Transceiver52M/Transceiver.cpp:

@@ -310,7 +310,8 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
                           threshold: float = C.TSC_DETECT_THRESHOLD,
                           estimate_channel: bool = False,
                           chan_taps_symbols: int = 6,
-                          max_toa: int | None = None):
+                          max_toa: int | None = None,
+                          gate_estimation: Array | None = None):
     """Batched normal-burst midamble detection + channel estimation.
 
     burst: [..., T] complex; tsc: int or int32 [...] per-burst TSC.
@@ -328,6 +329,14 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     channel-estimate window guards are all confined to that window
     exactly as the reference's CUSTOM-span correlation confines them.
     `None` keeps the 64M full-segment geometry (±10-symbol span).
+
+    gate_estimation (optional scalar bool array): when given, the whole
+    channel-estimation tail (fractional un-delay + candidate-window
+    energy search) runs under a `lax.cond` and is skipped at runtime
+    when False — the reference only estimates when a slot needs a DFE
+    re-estimate (needDFE && aged/invalid, Transceiver.cpp:311-330), so
+    most frames skip it; on TPU the skip saves the estimation tail's
+    HBM traffic, which the memory-bound chain directly feels.
     """
     seqs, gains, toas = midamble_bank(sps)
     burst = jnp.asarray(burst)
@@ -396,8 +405,6 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     # shifted copies — never a take_along_axis over the burst batch
     # (TPU gathers run element-at-a-time; this path measured ~190 ms of
     # a 234 ms block at 1024 carriers before the rewrite).
-    from openbts_ttsou_tpu.ops.gmsk import delay_vector
-
     if max_toa is None:
         toa_offset = jnp.broadcast_to(
             jnp.asarray(tmpl_toa, jnp.float32) + span, lead)
@@ -407,8 +414,30 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
         # requestChannel anchor, Transceiver52M/sigProcLib.cpp:1046)
         toa_offset = jnp.full(lead, float(mt), jnp.float32)
         all_offs = np.array([float(mt)], np.float32)
-    corr_d = delay_vector(corr, -toa)
     nw = chan_taps_symbols * sps
+
+    def _estimate(_):
+        return _estimate_channel(corr, toa, gain, toa_offset, all_offs,
+                                 nw, sps, t, lead)
+
+    if gate_estimation is None:
+        chan, chan_offset = _estimate(None)
+    else:
+        chan, chan_offset = jax.lax.cond(
+            gate_estimation, _estimate,
+            lambda _: (jnp.zeros(lead + (nw,), jnp.complex64),
+                       jnp.zeros(lead, jnp.float32)),
+            operand=None)
+    return det, chan, chan_offset
+
+
+def _estimate_channel(corr, toa, gain, toa_offset, all_offs, nw, sps, t,
+                      lead):
+    """The channel-estimation tail of analyze_traffic_burst
+    (sigProcLib.cpp:1005-1031), split out so callers can gate it."""
+    from openbts_ttsou_tpu.ops.gmsk import delay_vector
+
+    corr_d = delay_vector(corr, -toa)
     # window starts: floor(toa_offset + (i−5)*sps), i = 0..6
     starts = jnp.floor(toa_offset[..., None]).astype(jnp.int32) \
         + (jnp.arange(7) - 5) * sps
@@ -460,4 +489,4 @@ def analyze_traffic_burst(burst: Array, tsc, sps: int,
     chan = chan / (gain[..., None] if gain.ndim else gain)
     # offset = 5·sps − maxI (sigProcLib.cpp:1029, exact formula)
     chan_offset = (5 * sps - max_i).astype(jnp.float32)
-    return det, chan.astype(jnp.complex64), chan_offset
+    return chan.astype(jnp.complex64), chan_offset

@@ -54,6 +54,12 @@ class TrxDaemonConfig:
     #: full ±10-symbol segment. SETMAXDELAY values at or below this
     #: still apply per carrier dynamically.
     max_toa: int | None = None
+    #: static tuple of timeslots that can carry RACH (combination
+    #: IV/V/VI slots in the channel plan — TN 0 for the standard
+    #: beacon). Restricts the expensive full-burst RACH correlator to
+    #: those slots; None = all 8 (correct for any SETSLOT). Static for
+    #: the same recompile reason as max_toa.
+    rach_slots: tuple | None = None
 
 
 class TrxDaemon:
@@ -78,7 +84,8 @@ class TrxDaemon:
             UdpTransport(base + 3 * i + 2, cfg.peer_host, peer + 3 * i + 2)
             for i in range(cfg.n_arfcn)]
         self.engine_cfg = eng.TrxConfig(n_chan=cfg.n_arfcn, sps=cfg.sps,
-                                        max_toa=cfg.max_toa)
+                                        max_toa=cfg.max_toa,
+                                        rach_slots=cfg.rach_slots)
         self.state = eng.init_state(self.engine_cfg)
         self.carrier_on = [False] * cfg.n_arfcn
         self.tx_freq = [0.0] * cfg.n_arfcn
@@ -340,10 +347,15 @@ class BlockTrxDaemon(TrxDaemon):
     """
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
-                 block_frames: int = 13, pipeline_depth: int = 1):
+                 block_frames: int = 13, pipeline_depth: int = 1,
+                 exact: bool = True):
         from openbts_ttsou_tpu.models.transceiver import UplinkSpec
 
         super().__init__(radio, cfg)
+        #: per-frame rx_step scan (the reference's exact pullRadioVector
+        #: semantics — measured faster than the block refresh too) vs
+        #: the once-per-block `process_block_fast` refresh
+        self.exact = exact
         assert block_frames % 13 == 0, \
             "65/96 streaming needs 13-frame multiples"
         self.spec = UplinkSpec(frames=block_frames)
@@ -478,7 +490,7 @@ class BlockTrxDaemon(TrxDaemon):
         # itself (duplex_block_packed)
         st, tail, out = duplex_block_packed(
             self.engine_cfg, self.spec, self.state,
-            jnp.asarray(io_buf), self._tx_tail)
+            jnp.asarray(io_buf), self._tx_tail, self.exact)
         self.state, self._tx_tail = st, tail
         self._pending.append((out, self.fn, self._tx_block))
         self.fn = (self.fn + f) % HYPERFRAME

@@ -84,6 +84,13 @@ class TrxConfig(NamedTuple):
     #: full-segment geometry. Per-carrier SETMAXDELAY values below this
     #: window still apply dynamically via state.max_expected_delay.
     max_toa: int | None = None
+    #: static tuple of timeslot indices that can carry RACH (the union
+    #: over carriers of slots whose channel combination is IV/V/VI —
+    #: per-slot corrType dispatch, Transceiver.cpp:207-266). The
+    #: full-burst 41-symbol RACH correlator — the chain's most
+    #: expensive — then runs only on those slots. None = all 8 (always
+    #: correct); a slot outside the tuple never detects RACH.
+    rach_slots: tuple | None = None
 
 
 class TrxState(NamedTuple):
@@ -204,6 +211,47 @@ def _flat(x):
     return x.reshape((-1,) + x.shape[2:])
 
 
+def _detect_rach_slots(frame3: Array, sps: int, threshold: float,
+                       rach_slots) -> xcorr.Detection:
+    """detect_rach over every (row, slot) burst of frame3 [N, 8, T], or
+    — when `rach_slots` restricts it — only over the RACH-capable
+    slots, with the results scattered back to the dense [N·8] layout.
+
+    The full-burst 41-symbol RACH correlation + its 51-offset valley is
+    the chain's most expensive correlator, and the memory-bound
+    pipeline feels every byte of it; a typical config carries RACH on
+    one slot (the C-IV beacon), so the static restriction removes 7/8
+    of that traffic. Slots outside the tuple report no-detection (the
+    reference's per-slot corrType dispatch never runs the RACH
+    correlator there either, Transceiver.cpp:358-364)."""
+    m = frame3.shape[0]
+    if rach_slots is None:
+        return xcorr.detect_rach(frame3.reshape(m * 8, -1), sps,
+                                 threshold=threshold)
+    ks = sorted({int(t) for t in rach_slots})
+    n = m * 8
+    if not ks:
+        z = jnp.zeros((n,), jnp.float32)
+        return xcorr.Detection(jnp.zeros((n,), bool),
+                               jnp.zeros((n,), jnp.complex64), z, z)
+    sub = jnp.concatenate([frame3[:, t: t + 1, :] for t in ks], axis=1)
+    d = xcorr.detect_rach(sub.reshape(m * len(ks), -1), sps,
+                          threshold=threshold)
+
+    def expand(x, fill):
+        full = jnp.full((m, 8), fill, x.dtype)
+        xs = x.reshape(m, len(ks))
+        for i, t in enumerate(ks):
+            full = full.at[:, t].set(xs[:, i])
+        return full.reshape(-1)
+
+    return xcorr.Detection(
+        expand(d.detected, False),
+        expand(d.amplitude, 0),
+        expand(d.toa, 0.0),
+        expand(d.peak_to_mean, 0.0))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
             ) -> tuple[TrxState, RxResult]:
@@ -229,12 +277,22 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     # --- TSC path (cpp:311-348) ---------------------------------------
     need_dfe = state.max_expected_delay > 1  # [C]
     tsc_flat = jnp.repeat(state.tsc, 8)
+    # The reference estimates the channel only when a slot needs a DFE
+    # re-estimate (needDFE && (>50 frames old || invalid), cpp:311-330).
+    # Computing `want_est` up front lets the whole estimation tail skip
+    # at runtime on the frames — usually all of them — where no slot
+    # qualifies (the chain is HBM-bound; the skip is a direct win).
+    frames_since_est = fn_delta(fn, state.chan_estimate_fn)  # [C,8]
+    want_est = ((frames_since_est > 50) | ~state.chan_valid) & \
+        need_dfe[:, None]
     det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
         bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
-        estimate_channel=True, max_toa=cfg.max_toa)
+        estimate_channel=True, max_toa=cfg.max_toa,
+        gate_estimation=jnp.any(want_est))
 
     # --- RACH path (cpp:358-375) --------------------------------------
-    det_rach = xcorr.detect_rach(bursts, sps, threshold=cfg.rach_threshold)
+    det_rach = _detect_rach_slots(frame, sps, cfg.rach_threshold,
+                                  cfg.rach_slots)
 
     is_tsc = (corr_type == CorrType.TSC).reshape(-1)
     is_rach = (corr_type == CorrType.RACH).reshape(-1)
@@ -260,9 +318,6 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
 
     # --- channel state update (cpp:315-346) ---------------------------
-    frames_since_est = fn_delta(fn, state.chan_estimate_fn)  # [C,8]
-    want_est = ((frames_since_est > 50) | ~state.chan_valid) & \
-        need_dfe[:, None]
     do_est = want_est.reshape(-1) & is_tsc & success
     # SNRestimate = |amp|²/(thr²+1) (cpp:330)
     new_snr = jnp.abs(amplitude) ** 2 / (thr * thr + 1.0)
@@ -273,8 +328,13 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
     # equalizeBurst says "Assumes symbol-rate sampling"). Decimate the
     # oversampled estimate to its 6 symbol-rate taps first.
     dfe_chan = chan_norm[..., :: cfg.sps] if cfg.sps > 1 else chan_norm
-    dfe_w, dfe_b = dfe_mod.design_dfe(dfe_chan, jnp.maximum(new_snr, 1e-6),
-                                      DFE_NF)
+    dfe_w, dfe_b = jax.lax.cond(  # gated with the estimation tail
+        jnp.any(want_est),
+        lambda _: dfe_mod.design_dfe(dfe_chan,
+                                     jnp.maximum(new_snr, 1e-6), DFE_NF),
+        lambda _: (jnp.zeros((n, DFE_NF), jnp.complex64),
+                   jnp.zeros((n, CHAN_TAPS - 1), jnp.complex64)),
+        operand=None)
 
     def upd(old, new, mask):
         m = mask.reshape((c, 8) + (1,) * (old.ndim - 2))

@@ -238,3 +238,59 @@ def test_block_daemon_over_the_wire(wire_scenario):
     daemon.step()
     daemon.flush()
     assert daemon.stale_dumped > stale_before
+
+
+def test_duplex_exact_uplink_matches_uplink_block():
+    """duplex_block_wire(exact=True) — the default — must produce the
+    SAME uplink results and end state as the standalone per-frame
+    uplink_block on the identical device-rate stream: the duplex fusion
+    changes the program shape, not the engine semantics."""
+    from openbts_ttsou_tpu.models.transceiver import uplink_block
+
+    n = 2
+    cfg = TrxConfig(n_chan=n)
+    spec = UplinkSpec(frames=13)
+    chan_type = np.zeros((n, 8), np.int32)
+    chan_type[:, 1:] = ChanType.I
+    chan_type[:, 0] = ChanType.IV
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+
+    rng = np.random.default_rng(3)
+    sym = (rng.standard_normal((n, spec.block_symbols))
+           + 1j * rng.standard_normal((n, spec.block_symbols))
+           ).astype(np.complex64)
+    wave = 9000.0 * np.asarray(gmsk.modulate_burst(
+        _norm_burst(seed=4)[None], 1, guard_len=9))[0]
+    for c in range(n):
+        for f in range(spec.frames):
+            off = f * 1250 + 157  # slot 1 (ChanType.I → TSC expected)
+            sym[c, off: off + len(wave)] += wave
+    lpf_up = fir.resampler_lpf(96, 65, 651)
+    dev = np.asarray(jnp.asarray(
+        fir.polyphase_resample(jnp.asarray(sym), 96, 65, lpf_up)
+    ))[:, : spec.block_in].astype(np.complex64)
+
+    st_a, res_a = uplink_block(cfg, spec, state, jnp.asarray(dev))
+
+    ul_halo = np.pad(dev, ((0, 0), (RX_HALO_DEV, RX_HALO_DEV)))
+    dl_bits = jnp.zeros((spec.frames, n, 8, 148), jnp.uint8)
+    dl_valid = jnp.zeros((spec.frames, n, 8), bool)
+    dl_atten = jnp.zeros((spec.frames, n, 8), jnp.float32)
+    st_b, _tx, _tail, wire = duplex_block_wire(
+        cfg, spec, state, jnp.asarray(ul_halo),
+        jnp.zeros((n, TX_TAIL_SYM), jnp.complex64), dl_bits, dl_valid,
+        dl_atten, jnp.asarray(0, jnp.int32), False, True)
+
+    det_a = np.asarray(res_a.detected)
+    assert det_a[:, :, 1].all()  # every frame's slot 1 fired
+    np.testing.assert_array_equal(det_a, np.asarray(wire.detected))
+    # the duplex front-end resamples from the halo'd stream; demod soft
+    # bits agree to quantization (the wire path rounds to uint8)
+    soft_a = np.clip(np.round(np.asarray(res_a.soft_bits) * 255.0),
+                     0, 255).astype(np.uint8)
+    diff = np.abs(soft_a.astype(int)
+                  - np.asarray(wire.soft_u8).astype(int))
+    assert diff.max() <= 1
+    np.testing.assert_allclose(np.asarray(st_a.energy_threshold),
+                               np.asarray(st_b.energy_threshold))
+    assert int(st_a.fn) == int(st_b.fn)

@@ -320,3 +320,90 @@ def test_rx_step_detects_at_sps4():
     assert np.array_equal((soft[:148] > 0.5).astype(int), bits)
     # TOA is reported in 1/256-symbol units and should be ~0
     assert abs(int(np.asarray(res.timing)[0, 3])) < 256
+
+
+def test_rach_slots_restriction_matches_dense():
+    """rx_step with the static cfg.rach_slots restriction produces the
+    same detections/soft bits/state as the dense all-slots engine when
+    RACH traffic only arrives on the restricted slots (the config
+    contract: rach_slots = the combination-IV/V/VI slots)."""
+    chan_type = np.zeros((2, 8), np.int32)
+    chan_type[:, 1:] = ChanType.I
+    chan_type[:, 0] = ChanType.IV
+    bits = normal_burst_bits(tsc=0, seed=5)
+    nb = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1,
+                                                 guard_len=9))[0]
+    rb = 9000.0 * np.asarray(
+        gmsk.modulate_burst(rach_burst_bits()[None], 1, guard_len=9))[0]
+
+    outs = []
+    for rach_slots in (None, (0,)):
+        cfg = TrxConfig(n_chan=2, rach_slots=rach_slots)
+        state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+        global RNG
+        RNG = np.random.default_rng(77)  # same noise for both runs
+        frame = _mk_frame(cfg, {(0, 0): rb, (1, 0): rb, (0, 3): nb,
+                                (1, 5): nb})
+        st, res = rx_step(cfg, state, frame)
+        outs.append((np.asarray(res.detected), np.asarray(res.is_rach),
+                     np.asarray(res.soft_bits),
+                     np.asarray(st.energy_threshold)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+    det, is_rach = outs[0][0], outs[0][1]
+    assert det[0, 0] and det[1, 0] and is_rach[0, 0] and is_rach[1, 0]
+    assert det[0, 3] and det[1, 5]
+
+
+def test_rach_slots_excluded_slot_never_detects():
+    """A RACH burst on a slot outside cfg.rach_slots is not detected
+    (the correlator does not run there), while the in-tuple slot still
+    fires."""
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 0] = ChanType.IV
+    chan_type[0, 4] = ChanType.IV  # RACH-typed but outside rach_slots
+    rb = 9000.0 * np.asarray(
+        gmsk.modulate_burst(rach_burst_bits()[None], 1, guard_len=9))[0]
+    cfg = TrxConfig(n_chan=1, rach_slots=(0,))
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+    frame = _mk_frame(cfg, {(0, 0): rb, (0, 4): rb})
+    _, res = rx_step(cfg, state, frame)
+    det = np.asarray(res.detected)
+    assert det[0, 0] and not det[0, 4]
+
+
+def test_estimation_gate_skips_and_matches():
+    """The lax.cond-gated channel-estimation tail: with no channel at
+    SETMAXDELAY > 1 the gate is closed and detection results are
+    unchanged vs the open-gate engine; with SETMAXDELAY > 1 the DFE
+    state fills exactly as before the gate existed."""
+    from openbts_ttsou_tpu.trx.engine import CHAN_TAPS
+
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 2] = ChanType.I
+    bits = normal_burst_bits(tsc=0, seed=11)
+    nb = 9000.0 * np.asarray(gmsk.modulate_burst(bits[None], 1,
+                                                 guard_len=9))[0]
+    cfg = TrxConfig(n_chan=1)
+
+    def run(max_delay):
+        st = init_state(cfg)._replace(
+            chan_type=jnp.asarray(chan_type),
+            max_expected_delay=jnp.asarray([max_delay], jnp.int32))
+        global RNG
+        RNG = np.random.default_rng(13)
+        frame = _mk_frame(cfg, {(0, 2): nb})
+        return rx_step(cfg, st, frame)
+
+    st0, res0 = run(0)   # gate closed: no estimation consumer
+    st4, res4 = run(4)   # gate open: DFE channel estimated
+    np.testing.assert_array_equal(np.asarray(res0.detected),
+                                  np.asarray(res4.detected))
+    assert np.asarray(res0.detected)[0, 2]
+    # closed gate: channel state untouched
+    assert not np.asarray(st0.chan_valid).any()
+    assert np.abs(np.asarray(st0.chan_response)).sum() == 0.0
+    # open gate: estimate written for the detected slot
+    assert bool(np.asarray(st4.chan_valid)[0, 2])
+    assert np.abs(np.asarray(st4.chan_response)[0, 2]).sum() > 0.0
+    assert np.asarray(st4.chan_response).shape[-1] == CHAN_TAPS

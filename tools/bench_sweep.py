@@ -49,12 +49,17 @@ def main():
                  for c in (128, 512, 1024)]
                 + [("decoded", 128, 0), ("downlink", 128, 0),
                    ("duplex", 128, 0), ("duplex", 512, 0),
-                   # the SETMAXDELAY windowed-correlation compute win
-                   ("fast", 1024, 4)])
+                   # the SETMAXDELAY windowed TSC correlation
+                   ("fast", 1024, 4), ("exact", 1024, 4)])
 
     results = []
     for mode, carriers, max_toa in grid:
+        # keep the timed span well above bench.py's noise guard
+        # (dt > 0.02 s): the exact engine and the downlink chain run
+        # fast enough at ≤128 carriers that 8 iters is only ~20 ms
         iters = 8 if carriers <= 256 else 4
+        if carriers <= 128 and mode in ("exact", "downlink"):
+            iters = 32
         print(f"[sweep] {mode} @ {carriers} max_toa={max_toa}...",
               file=sys.stderr, flush=True)
         # a wedged relay attachment never recovers in-process; a fresh
