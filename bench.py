@@ -260,7 +260,8 @@ def main():
                     da = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
                     st2, tx, tail2, wire = duplex_block_wire(
                         cfg, spec, st, ul, tail, dl_bits, dl_valid,
-                        da, fn, True)
+                        da, fn, True,
+                        os.environ.get("BENCH_DUPLEX_EXACT", "0") == "1")
                     probe = (jnp.sum(wire.soft_u8[..., 0].astype(
                         jnp.int32)) + jnp.sum(tx[:, 0, :].astype(
                             jnp.int32)))

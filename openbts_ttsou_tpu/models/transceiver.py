@@ -515,7 +515,7 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
                       state: eng.TrxState, ul_halo: Array, tx_tail: Array,
                       dl_bits: Array, dl_valid: Array, dl_atten: Array,
                       tx_fn0: Array, io_i16: bool = False,
-                      exact: bool = True
+                      exact: bool = False
                       ) -> tuple[eng.TrxState, Array, Array, WireBlock]:
     """One fused streaming-duplex block: modulate + 96/65-resample the
     downlink window AND detect/demodulate the uplink window, with exact
@@ -540,15 +540,19 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     Transceiver52M/radioInterface.cpp:101-146; on TPU it is a free
     fused op and halves the PCIe bytes).
 
-    exact (static, default True): walk the uplink window frame by frame
-    with `rx_step` — the reference's exact pullRadioVector semantics
-    (per-frame threshold walk, 50-frame channel aging). Measured FASTER
-    than the once-per-block `process_block_fast` refresh at every
-    carrier count (BENCH_r03_sweep.json: 1422 vs 814 Msps at 512
-    carriers — the per-frame working set stays on-chip where the
-    13-frame batch streams its 13×-larger intermediates through HBM),
-    so the faithful mode is also the throughput mode. False keeps the
-    block-refresh variant (its drift envelope: tests/test_fast_drift).
+    exact (static): walk the uplink window frame by frame with
+    `rx_step` — the reference's exact pullRadioVector semantics
+    (per-frame threshold walk, 50-frame channel aging) — instead of
+    the once-per-block `process_block_fast` refresh (drift envelope:
+    tests/test_fast_drift). The measured mode matrix on the TPU v5e
+    (BENCH_r03_sweep.json) is split: STANDALONE uplink strongly favors
+    exact (1526 vs 814 Msps at 512 carriers — the per-frame working
+    set tiles on-chip where the 13-frame batch streams its 13×-larger
+    intermediates through HBM), but inside THIS duplex fusion the
+    block mode wins (830 vs 602 Msps at 512) — the tx scan + per-frame
+    rx scan serialize into 26 small sequential steps where the block
+    form keeps the device on large kernels. Hence default False here
+    and exact defaults elsewhere.
     """
     from openbts_ttsou_tpu.parallel.halo import resample_block
 
@@ -638,7 +642,7 @@ def _be32(x: Array) -> Array:
 @functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
                         state: eng.TrxState, io_buf: Array,
-                        tx_tail: Array, exact: bool = True
+                        tx_tail: Array, exact: bool = False
                         ) -> tuple[eng.TrxState, Array, Array]:
     """`duplex_block_wire` with single-buffer I/O both ways: io_buf is
     the 1-D uint8 buffer from `pack_dl_buffer(..., ul_i16=...)` —

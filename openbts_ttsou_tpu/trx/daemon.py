@@ -348,13 +348,16 @@ class BlockTrxDaemon(TrxDaemon):
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
                  block_frames: int = 13, pipeline_depth: int = 1,
-                 exact: bool = True):
+                 exact: bool = False):
         from openbts_ttsou_tpu.models.transceiver import UplinkSpec
 
         super().__init__(radio, cfg)
         #: per-frame rx_step scan (the reference's exact pullRadioVector
-        #: semantics — measured faster than the block refresh too) vs
-        #: the once-per-block `process_block_fast` refresh
+        #: semantics) vs the once-per-block `process_block_fast`
+        #: refresh — the block mode measures faster INSIDE the duplex
+        #: fusion (830 vs 602 Msps at 512 carriers; see
+        #: duplex_block_wire), so it is the daemon default; exact=True
+        #: buys per-frame threshold semantics at that cost
         self.exact = exact
         assert block_frames % 13 == 0, \
             "65/96 streaming needs 13-frame multiples"

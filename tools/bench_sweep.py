@@ -47,8 +47,10 @@ def main():
     else:
         grid = ([(m, c, 0) for m in ("fast", "exact")
                  for c in (128, 512, 1024)]
-                + [("decoded", 128, 0), ("downlink", 128, 0),
+                + [("decoded", 128, 0), ("decoded", 512, 0),
+                   ("downlink", 128, 0),
                    ("duplex", 128, 0), ("duplex", 512, 0),
+                   ("duplex", 1024, 0),
                    # the SETMAXDELAY windowed TSC correlation
                    ("fast", 1024, 4), ("exact", 1024, 4)])
 
@@ -58,8 +60,8 @@ def main():
         # (dt > 0.02 s): the exact engine and the downlink chain run
         # fast enough at ≤128 carriers that 8 iters is only ~20 ms
         iters = 8 if carriers <= 256 else 4
-        if carriers <= 128 and mode in ("exact", "downlink"):
-            iters = 32
+        if carriers <= 128:  # every chain clears ~25 ms of overhead
+            iters = 32 if mode in ("exact", "decoded", "downlink") else 24
         print(f"[sweep] {mode} @ {carriers} max_toa={max_toa}...",
               file=sys.stderr, flush=True)
         # a wedged relay attachment never recovers in-process; a fresh

@@ -12,6 +12,15 @@ This is the evidence behind ARCHITECTURE.md's roofline note: what bound
 the 512→1024-carrier falloff, and how far from speed-of-light the
 chain runs.
 
+Caveats on reading the numbers:
+- "bytes accessed" is the pre-fusion logical count — an upper bound on
+  HBM traffic (fusion keeps intermediates on-chip), which is why the
+  fast mode's achieved GB/s can exceed nominal HBM bandwidth.
+- XLA counts a lax.scan body ONCE, not per trip: `exact` mode's
+  figures are per-frame-body counts plus the front-end, NOT the
+  13-frame block totals, so compare exact rows to fast rows only via
+  the measured wall-clock columns.
+
     python tools/roofline.py                 # 128/512/1024, fast mode
     BENCH_MODE=exact python tools/roofline.py
 """
