@@ -109,8 +109,9 @@ def main():
     # Defaults follow BENCH_r03_sweep.json (tools/bench_sweep.py): the
     # exact per-frame engine — the faithful mode, the live daemon's
     # frame-walk semantics — measures FASTER than the throughput-block
-    # mode at every carrier count (1422 vs 814 Msps at 512 carriers),
-    # so the driver-recorded default is the best faithful configuration.
+    # mode at every carrier count (1557 vs 843 Msps at 512 carriers in
+    # that artifact), so the driver-recorded default is the best
+    # faithful configuration.
     n_chan = int(os.environ.get("BENCH_CHANNELS", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     # fast | exact | decoded (uplink) | downlink | duplex
@@ -360,6 +361,12 @@ def main():
             "frame_latency_ms": round(dt / (iters * spec.frames) * 1e3,
                                       3),
             "mode": mode,
+            # which duplex submode ran (exact per-frame rx scan vs
+            # once-per-block refresh) — the artifact must record it so
+            # every cited duplex number is attributable
+            **({"duplex_exact": os.environ.get("BENCH_DUPLEX_EXACT",
+                                               "0") == "1"}
+               if mode == "duplex" else {}),
             "seconds": round(dt, 4),
             "fetch_rtt_s": round(fetch_rtt, 4),
             "detections_last_block": detected,

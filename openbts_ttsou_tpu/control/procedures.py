@@ -125,6 +125,9 @@ class ControlLayer:
             mm.IdentityResponse: self.identity_response,
             rr.PagingResponse: self.paging_response,
             rr.AssignmentComplete: self.assignment_complete,
+            rr.AssignmentFailure: self.assignment_failure,
+            rr.ChannelModeModifyAcknowledge: self.mode_modify_ack,
+            rr.RRStatus: self.rr_status,
             cc.Setup: self.moc_setup,
             cc.Alerting: self.cc_forward,
             cc.Connect: self.mtc_connect,
@@ -254,7 +257,84 @@ class ControlLayer:
         t.sip = engine
         engine.moc_send_invite(t.called)
         t.set_state(Q931CallState.MOCProceeding)
-        self.assign_tch(channel, t)
+        if getattr(channel, "is_tch", False):
+            # very-early assignment: the call is already on its TCH/F,
+            # signalling on the FACCH — switch the channel to speech
+            # mode before call control proceeds (MOCStarter veryEarly,
+            # CallControl.cpp:666-680)
+            self.send_mode_modify(channel, t)
+        else:
+            self.assign_tch(channel, t)
+
+    def send_mode_modify(self, channel, t: TransactionEntry,
+                         mode: int = rr.ChannelMode.SpeechV1) -> None:
+        """L3 Channel Mode Modify on a dedicated channel; the MS must
+        answer with ChannelModeModifyAcknowledge echoing the mode
+        (CallControl.cpp:668-680,889-896,1075-1110)."""
+        t.tch = channel
+        t.pending_mode = mode
+        desc = rr.ChannelDescription(
+            type_and_offset=1, tn=getattr(channel, "tn", 0),
+            tsc=self.bts.bcc, arfcn=self.bts.arfcn)
+        channel.send(L3Frame(
+            rr.ChannelModeModify(desc, mode).encode(), Primitive.DATA))
+
+    def mode_modify_ack(self, channel,
+                        msg: rr.ChannelModeModifyAcknowledge):
+        """The MS confirmed (or refused) the mode change. A mismatched
+        mode aborts the call with cause 0x06 "channel unacceptable"
+        (CallControl.cpp:676-680)."""
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        want = getattr(t, "pending_mode", None)
+        t.pending_mode = None
+        if want is None:
+            return
+        if msg.mode != want:
+            log.warning("mode modify refused: got %d want %d", msg.mode,
+                        want)
+            self._abort_call(channel, t, cause=0x06)
+            return
+        # the channel is already open (very-early: allocated at access
+        # grant); only the mode state changes here
+        if t.sip is not None and t.sip.rtp is not None and \
+                getattr(t, "voice", None) is None:
+            from openbts_ttsou_tpu.control.voice import VoicePump
+
+            t.voice = VoicePump(channel, t.sip)
+
+    def assignment_failure(self, channel, msg: rr.AssignmentFailure):
+        """The MS could not move to the assigned TCH and returned to
+        the old channel (L3AssignmentFailure, GSML3RRMessages.h:654):
+        reclaim the reserved TCH and abort the call."""
+        t = self._transaction_for(channel)
+        log.warning("assignment failure cause=0x%02x", msg.cause)
+        if t is None:
+            self._release_channel(channel)
+            return
+        tch = getattr(t, "tch", None)
+        if tch is not None and tch is not channel:
+            self.channel_transactions.pop(id(tch), None)
+            self.bts.release(tch)
+            t.tch = None
+        self._abort_call(channel, t, cause=0x06)
+
+    def rr_status(self, channel, msg: rr.RRStatus):
+        """RR Status: MS-reported RR protocol error (L3RRStatus,
+        GSML3RRMessages.h:678) — log it; the procedure carries on."""
+        log.warning("RR status from MS: cause=0x%02x", msg.cause)
+
+    def _abort_call(self, channel, t: TransactionEntry,
+                    cause: int = 0x10) -> None:
+        """abortCall (CallControl.cpp:420-439): L3 Disconnect with the
+        cause, drop the SIP leg, release resources."""
+        disc = cc.Disconnect(cc.Cause(cause))
+        disc.ti = (1 << 3) | t.ti_value
+        channel.send(L3Frame(disc.encode(), Primitive.DATA))
+        if t.sip is not None:
+            t.sip.mod_send_bye()
+            t.set_state(Q931CallState.ReleaseRequest)
 
     def assign_tch(self, channel, t: TransactionEntry) -> None:
         """Early assignment: move the call to a TCH/F
@@ -287,7 +367,23 @@ class ControlLayer:
             t.voice = VoicePump(t.tch, t.sip)
 
     def cc_forward(self, channel, msg):
-        pass  # Alerting/ConnectAck uplink need no action in this subset
+        """Alerting needs no action; ConnectAcknowledge on a
+        very-early-assigned TCH is where the in-call vocoder pump
+        attaches (MOCController's callManagementLoop entry,
+        CallControl.cpp:756-772 — the early-assignment flow attaches in
+        assignment_complete instead)."""
+        if not isinstance(msg, cc.ConnectAcknowledge):
+            return
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        t.set_state(Q931CallState.Active)
+        if getattr(t, "voice", None) is None and \
+                getattr(channel, "is_tch", False) and \
+                t.sip is not None and t.sip.rtp is not None:
+            from openbts_ttsou_tpu.control.voice import VoicePump
+
+            t.voice = VoicePump(channel, t.sip)
 
     def mtc_connect(self, channel, msg: cc.Connect):
         """MS answered an MT call (MTCController,
@@ -301,6 +397,12 @@ class ControlLayer:
         ack.ti = (1 << 3) | t.ti_value
         channel.send(L3Frame(ack.encode(), Primitive.DATA))
         t.set_state(Q931CallState.Active)
+        if getattr(t, "voice", None) is None and \
+                getattr(channel, "is_tch", False) and \
+                t.sip is not None and t.sip.rtp is not None:
+            from openbts_ttsou_tpu.control.voice import VoicePump
+
+            t.voice = VoicePump(channel, t.sip)
 
     def start_dtmf(self, channel, msg: cc.StartDTMF):
         """DTMF key press → SIP INFO + L3 ack (CallControl DTMF via
@@ -392,6 +494,11 @@ class ControlLayer:
             setup.ti = 0 << 3 | t.ti_value  # network-originated TI
             channel.send(L3Frame(setup.encode(), Primitive.DATA))
             t.set_state(Q931CallState.CallPresent)
+            if getattr(channel, "is_tch", False):
+                # very-early assignment: mode change on this TCH before
+                # call control proceeds (MTCStarter veryEarly,
+                # CallControl.cpp:886-896)
+                self.send_mode_modify(channel, t)
             if t.sip is not None:
                 t.sip.mtc_send_trying()
                 t.sip.mtc_send_ringing()

@@ -217,3 +217,138 @@ def tch_decode(c_soft: Array) -> tuple[Array, Array]:
     calc_parity = unpack_field(calc, 0, 3)
     good = (sent_parity == calc_parity) & (unpack_field(u, 185, 4) == 0)
     return d, good
+
+
+# ---------------------------------------------------------------------------
+# TCH/FS + FACCH windowed downlink encoder (device-resident)
+# ---------------------------------------------------------------------------
+
+class TchTxCarry:
+    """Cross-window diagonal-interleaver carry for the fused TCH
+    downlink (the encoder's persistent mI[]/mPreviousFACCH,
+    GSML1FEC.cpp:1380-1393): the interleaved rows of the last two
+    dispatched coded blocks plus their FACCH flags, per burst lane."""
+
+    @staticmethod
+    def zeros(n: int):
+        z = jnp.zeros((n, 8, 114), jnp.uint8)
+        f = jnp.zeros((n,), bool)
+        return (z, z, f, f)  # (i_prev, i_cur, facch_prev, facch_cur)
+
+
+def _tch_tx_tables(frames: int) -> tuple[np.ndarray, ...]:
+    """Static per-window-phase geometry for the TCH/F downlink
+    dispatcher. The diagonal has a relational form: coded bit k of
+    dispatch block g lands in global burst 4g + k%8 (even interleaver
+    columns from the current block, odd from the previous — GSM 05.03
+    3.1.3), so each window needs only the indices below.
+
+    Returns, each indexed by phase p = fn0 % 26:
+      blk  [26, frames]  block index d per frame into the window's
+                         block list [prev, cur, new0, new1, ...]
+                         (−1 where the frame is not a TCH burst);
+      pos  [26, frames]  burst position b = B % 4 within its block;
+      nd   [26]          number of NEW dispatch blocks in the window.
+    """
+    from openbts_ttsou_tpu.gsm.tdma import FACCH_TCHF
+
+    rev = FACCH_TCHF.reverse_map()  # [26], −1 on SACCH/idle
+    blk = np.full((26, frames), -1, np.int32)
+    pos = np.zeros((26, frames), np.int32)
+    nd = np.zeros(26, np.int32)
+    for p in range(26):
+        d = 1  # carried current block until the first new dispatch
+        dcount = 0
+        for f in range(frames):
+            b8 = int(rev[(p + f) % 26])
+            if b8 < 0:
+                continue
+            b = b8 % 4
+            if b == 0:  # a new half-block dispatch starts here
+                d = 2 + dcount
+                dcount += 1
+            blk[p, f] = d
+            pos[p, f] = b
+        nd[p] = dcount
+    return blk, pos, nd
+
+
+def tch_tx_window(speech: Array, speech_valid: Array, facch: Array,
+                  facch_valid: Array, carry, fn0: Array, frames: int
+                  ) -> tuple[Array, Array, Array, tuple]:
+    """Encode one window of TCH/FS + FACCH downlink for N burst lanes
+    in a single batched program (TCHFACCHL1Encoder::sendFrame/dispatch
+    + interleave, GSML1FEC.cpp:1310-1393, re-derived for windowed
+    batching: no sequential dispatch loop, no mutable diagonal
+    buffer).
+
+    speech [G, N, 260] coder-order vocoder frames, speech_valid
+    [G, N]; facch [G, N, 184] air-order FACCH frames, facch_valid
+    [G, N] (FACCH steals the dispatch — the encoder's priority,
+    GSML1FEC.cpp:1325-1340; silence filler when neither is valid);
+    carry from `TchTxCarry.zeros(N)` or a previous window; fn0 []
+    int32 window-start FN (same frame origin as the uplink decoder's
+    tables). G must be ≥ the window's dispatch count (3 for
+    frames=13); extra entries are ignored.
+
+    Returns (bits [frames, N, 148] uint8 with zeroed midamble — the
+    caller stamps the TSC like downlink_block_encoded —, is_burst
+    [frames, N] bool (False on SACCH/idle frames), stealing Hu flag
+    handled inside, new_carry)."""
+    i_prev, i_cur, f_prev, f_cur = carry
+    n = i_prev.shape[0]
+    g = speech.shape[0]
+    blk_t, pos_t, _nd = _tch_tx_tables(frames)
+    p26 = fn0 % 26
+    blk = jax.lax.dynamic_index_in_dim(jnp.asarray(blk_t), p26, 0,
+                                       keepdims=False)  # [frames]
+    pos = jax.lax.dynamic_index_in_dim(jnp.asarray(pos_t), p26, 0,
+                                       keepdims=False)
+
+    # code every dispatch's content in one batch: FACCH > speech > fill
+    c_facch = _facch_coded(facch)  # [G, N, 456]
+    c_speech = tch_encode(speech)  # [G, N, 456]
+    use_f = facch_valid[..., None]
+    use_s = (~facch_valid & speech_valid)[..., None]
+    coded = jnp.where(use_f, c_facch,
+                      jnp.where(use_s, c_speech,
+                                jnp.zeros_like(c_speech)))
+    i_new = fec.interleave(coded, fec.tch_interleave_map(0), 8)
+    # block list: [prev, cur, new...] → [2+G, N, 8, 114]
+    blocks = jnp.concatenate([i_prev[None], i_cur[None], i_new], axis=0)
+    flags = jnp.concatenate([f_prev[None], f_cur[None], facch_valid],
+                            axis=0)
+
+    # per-frame gather: burst(d, b) = blocks[d][:, b] (even columns)
+    #                               + blocks[d-1][:, 4+b] (odd columns)
+    dtot = 2 + g
+    rows = jnp.moveaxis(blocks, 2, 1).reshape(dtot * 8, n, 114)
+    safe_blk = jnp.maximum(blk, 1)  # −1 rows masked by is_burst below
+    cur_rows = jnp.take(rows, safe_blk * 8 + pos, axis=0)
+    prv_rows = jnp.take(rows, (safe_blk - 1) * 8 + 4 + pos, axis=0)
+    i114 = cur_rows + prv_rows  # disjoint even/odd columns
+    hu = jnp.take(flags, safe_blk, axis=0)  # [frames, N]
+    hl = jnp.take(flags, safe_blk - 1, axis=0)
+    bits = fec.map_to_burst(i114, stealing=(0, 0), tsc=None)
+    bits = bits.at[..., 60].set(hl.astype(jnp.uint8))
+    bits = bits.at[..., 87].set(hu.astype(jnp.uint8))
+    is_burst = blk >= 0  # [frames]
+    is_burst = jnp.broadcast_to(is_burst[:, None], (frames, n))
+
+    # carry out: the last two blocks of the window's list. The window
+    # always ends inside (or at the boundary of) block dtot−1, with
+    # block dtot−2 its predecessor.
+    new_carry = (blocks[dtot - 2], blocks[dtot - 1],
+                 flags[dtot - 2], flags[dtot - 1])
+    return bits, is_burst, hu, new_carry
+
+
+def _facch_coded(frames184: Array) -> Array:
+    """184-bit air-order FACCH frame → 456 coded bits (the XCCH coding
+    chain without interleave/mapping — FACCH shares it,
+    GSML1FEC.cpp:795-808)."""
+    frames184 = jnp.asarray(frames184, jnp.uint8)
+    p = fec.parity_word(frames184, fec.FIRECODE_XCCH)
+    tail = jnp.zeros(frames184.shape[:-1] + (4,), jnp.uint8)
+    u = jnp.concatenate([frames184, p, tail], axis=-1)
+    return fec.conv_encode(u)

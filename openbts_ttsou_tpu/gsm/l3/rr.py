@@ -291,6 +291,104 @@ class AssignmentComplete(L3Message):
         self.cause = r.octet()
 
 
+@register
+class AssignmentFailure(L3Message):
+    """GSM 04.08 9.1.3 Assignment Failure (uplink): the MS could not
+    move to the assigned channel and returned to the old one
+    (L3AssignmentFailure, GSML3RRMessages.h:654, parse
+    GSML3RRMessages.cpp:488)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x2F
+
+    def __init__(self, cause: int = 0):
+        self.cause = cause
+
+    def write_body(self, w: BitWriter) -> None:
+        w.octet(self.cause)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cause = r.octet()
+
+
+@register
+class RRStatus(L3Message):
+    """GSM 04.08 9.1.29 RR Status (uplink): the MS reports an RR
+    protocol error with an RR cause (L3RRStatus,
+    GSML3RRMessages.h:678, parse GSML3RRMessages.cpp:501)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x12
+
+    def __init__(self, cause: int = 0):
+        self.cause = cause
+
+    def write_body(self, w: BitWriter) -> None:
+        w.octet(self.cause)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cause = r.octet()
+
+
+class ChannelMode:
+    """Channel Mode IE values, GSM 04.08 10.5.2.6 (L3ChannelMode,
+    GSML3RRElements.h:561: one octet, writeV/parseV
+    GSML3RRElements.cpp:431-439)."""
+
+    SignallingOnly = 0
+    SpeechV1 = 1
+    SpeechV2 = 2
+    SpeechV3 = 3
+
+
+@register
+class ChannelModeModify(L3Message):
+    """GSM 04.08 9.1.5 Channel Mode Modify (downlink): switch a
+    dedicated channel (the very-early-assignment TCH) from
+    signalling-only to speech mode (L3ChannelModeModify,
+    GSML3RRMessages.h:703, writeBody GSML3RRMessages.cpp:544)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x10
+
+    def __init__(self, channel: ChannelDescription | None = None,
+                 mode: int = ChannelMode.SpeechV1):
+        self.channel = channel or ChannelDescription()
+        self.mode = mode
+
+    def write_body(self, w: BitWriter) -> None:
+        self.channel.write_v(w)
+        w.octet(self.mode)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.channel = ChannelDescription.parse_v(r)
+        self.mode = r.octet()
+
+
+@register
+class ChannelModeModifyAcknowledge(L3Message):
+    """GSM 04.08 9.1.6 (uplink): the MS confirms (or refuses, by
+    echoing a different mode) the mode change
+    (L3ChannelModeModifyAcknowledge, GSML3RRMessages.h:731, parseBody
+    GSML3RRMessages.cpp:559)."""
+
+    PD = L3PD.RadioResource
+    MTI = 0x17
+
+    def __init__(self, channel: ChannelDescription | None = None,
+                 mode: int = ChannelMode.SpeechV1):
+        self.channel = channel or ChannelDescription()
+        self.mode = mode
+
+    def write_body(self, w: BitWriter) -> None:
+        self.channel.write_v(w)
+        w.octet(self.mode)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.channel = ChannelDescription.parse_v(r)
+        self.mode = r.octet()
+
+
 @dataclasses.dataclass
 class CellChannelDescription:
     """Cell Channel Description, GSM 04.08 10.5.2.1b (16 octets,

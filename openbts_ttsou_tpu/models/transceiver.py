@@ -222,10 +222,18 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
         return jnp.where(m, new.reshape(old.shape), old)
 
     hits = succ_f.sum(axis=(0, 2))  # per-chan detections in block
+    acct = ((corr_type != eng.CorrType.OFF) &
+            (corr_type != eng.CorrType.IDLE))
+    # RACH-typed slots outside cfg.rach_slots never detect (no decoder
+    # installed in the reference) — exclude them from miss accounting,
+    # matching rx_step's `active` mask
+    if cfg.rach_slots is not None:
+        allowed = np.zeros(8, bool)
+        allowed[list(cfg.rach_slots)] = True
+        acct = acct & ~((corr_type == eng.CorrType.RACH) &
+                        ~jnp.asarray(allowed)[None, None, :])
     misses = (has_energy.reshape(f, c, 8) & ~succ_f &
-              (corr_type != eng.CorrType.OFF).reshape(f, c, 8) &
-              (corr_type != eng.CorrType.IDLE).reshape(f, c, 8)
-              ).sum(axis=(0, 2))
+              acct.reshape(f, c, 8)).sum(axis=(0, 2))
     e_thr = jnp.maximum(state.energy_threshold - hits.astype(jnp.float32),
                         0.0) + 10.0 * jnp.minimum(
         misses.astype(jnp.float32), 1.0)
@@ -431,14 +439,9 @@ def downlink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
     (driveTransmitFIFO → pushBuffer, Transceiver.cpp:672-722 +
     Transceiver/radioInterface.cpp:123-186).
     """
-    frames = spec.frames
-
-    def frame_step(fn, inp):
-        b, v, a = inp
-        out = eng.tx_step(cfg, state, b, v, a, fn)
-        return (fn + 1) % HYPERFRAME, out
-
-    _, slots = lax.scan(frame_step, fn0, (bits, valid, atten_db))
+    del fn0  # tx_step ignores fn; the stream layout is frame-indexed
+    # whole-window batched modulation (no per-frame scan)
+    slots = eng.tx_frames(cfg, state, bits, valid, atten_db)
     # [frames, C, 8, 157] → continuous stream [C, frames·1250]
     sym = _assemble_stream(slots)
     lpf = fir.resampler_lpf(spec.q, spec.p, 651)
@@ -515,7 +518,7 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
                       state: eng.TrxState, ul_halo: Array, tx_tail: Array,
                       dl_bits: Array, dl_valid: Array, dl_atten: Array,
                       tx_fn0: Array, io_i16: bool = False,
-                      exact: bool = False
+                      exact: bool = True
                       ) -> tuple[eng.TrxState, Array, Array, WireBlock]:
     """One fused streaming-duplex block: modulate + 96/65-resample the
     downlink window AND detect/demodulate the uplink window, with exact
@@ -544,15 +547,15 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     `rx_step` — the reference's exact pullRadioVector semantics
     (per-frame threshold walk, 50-frame channel aging) — instead of
     the once-per-block `process_block_fast` refresh (drift envelope:
-    tests/test_fast_drift). The measured mode matrix on the TPU v5e
-    (BENCH_r03_sweep.json) is split: STANDALONE uplink strongly favors
-    exact (1526 vs 814 Msps at 512 carriers — the per-frame working
-    set tiles on-chip where the 13-frame batch streams its 13×-larger
-    intermediates through HBM), but inside THIS duplex fusion the
-    block mode wins (830 vs 602 Msps at 512) — the tx scan + per-frame
-    rx scan serialize into 26 small sequential steps where the block
-    form keeps the device on large kernels. Hence default False here
-    and exact defaults elsewhere.
+    tests/test_fast_drift). Exact is the DEFAULT everywhere: on the
+    TPU v5e it beats the block refresh both standalone (the per-frame
+    working set tiles on-chip where the 13-frame batch streams its
+    13×-larger intermediates through HBM) and inside this duplex
+    fusion (1032 vs 854 Msps at 512 carriers, BENCH_r04_sweep.json).
+    Round 3's opposite duplex ranking was an artifact of the tx
+    frame-scan: with `tx_frames` batching the whole downlink window
+    into one modulation, the serialization that made exact lose is
+    gone. exact=False remains the opt-in throughput mode.
     """
     from openbts_ttsou_tpu.parallel.halo import resample_block
 
@@ -563,12 +566,11 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     frames = spec.frames
 
     # ---- downlink (driveTransmitFIFO → pushBuffer) --------------------
-    def frame_step(fn, inp):
-        b, v, a = inp
-        out = eng.tx_step(cfg, state, b, v, a, fn)
-        return (fn + 1) % HYPERFRAME, out
-
-    _, slots = lax.scan(frame_step, tx_fn0, (dl_bits, dl_valid, dl_atten))
+    # one batched modulation for the whole window: the reference's
+    # per-frame walk has no sequential dependency (tx_frames), and the
+    # F-step scan here was half of the 26-small-kernel serialization
+    # that made exact mode lose inside this fusion (round-3 verdict)
+    slots = eng.tx_frames(cfg, state, dl_bits, dl_valid, dl_atten)
     sym = _assemble_stream(slots)  # [C, frames·1250]
     stream = jnp.concatenate([tx_tail.astype(sym.dtype), sym], axis=-1)
     lpf_tx = fir.resampler_lpf(spec.q, spec.p, 651)
@@ -642,7 +644,7 @@ def _be32(x: Array) -> Array:
 @functools.partial(jax.jit, static_argnums=(0, 1, 5))
 def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
                         state: eng.TrxState, io_buf: Array,
-                        tx_tail: Array, exact: bool = False
+                        tx_tail: Array, exact: bool = True
                         ) -> tuple[eng.TrxState, Array, Array]:
     """`duplex_block_wire` with single-buffer I/O both ways: io_buf is
     the 1-D uint8 buffer from `pack_dl_buffer(..., ul_i16=...)` —
@@ -691,6 +693,86 @@ def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
         tx_bytes.reshape(-1), pkts.reshape(-1),
         wire.detected.astype(jnp.uint8).reshape(-1)])
     return state2, tail2, out
+
+
+UL_PKT_C = UL_PKT + 2  # packed uplink row: datagram + carrier index
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def duplex_block_compact(cfg: eng.TrxConfig, spec: UplinkSpec,
+                         state: eng.TrxState, io_buf: Array,
+                         tx_tail: Array, exact: bool = True
+                         ) -> tuple[eng.TrxState, Array, Array, Array,
+                                    Array]:
+    """`duplex_block_packed` with device-side result compaction: the
+    uplink datagram stream and the DAC stream cross the host boundary
+    only where they carry information.
+
+    io_buf is `pack_dl_buffer(...)` + a trailing [C] live-carrier mask
+    (see `pack_dl_buffer_live`). Returns (state', tx_tail', hdr, tx_buf,
+    pkt_buf):
+
+      hdr     [8]              uint8: n_det (BE32), n_live (BE32)
+      tx_buf  [C+1, block_in·4] int16-byte DAC rows, LIVE carriers
+                               prefix-packed (row C is the drop slot);
+      pkt_buf [F·C·8+1, 160]   ready-to-send uplink datagrams + 2-byte
+                               carrier index, DETECTED rows
+                               prefix-packed.
+
+    The host fetches hdr (8 bytes), then only the first n_live tx rows
+    and n_det datagram rows — D2H scales with detection density and
+    non-filler tx load instead of the full F·C·8 datagram matrix + all
+    C DAC rows (the round-3 wire-path bottleneck: the dense result
+    buffer at 128 carriers is ~14 MB per 60 ms block on a ~25 MB/s dev
+    relay). A carrier whose window AND previous window are all filler
+    transmits the cached filler block host-side (the filler table is
+    one constant pattern, Transceiver.cpp:69-85, so its resampled
+    stream is block-periodic once the overlap tail is also filler).
+    Match: driveReceiveFIFO only serializes DETECTED bursts
+    (Transceiver.cpp:652-667) — the dense path shipped every slot."""
+    f, c = spec.frames, cfg.n_chan
+    body_end = PACK_HDR + f * c * 8 * DL_ROW
+    t_halo = spec.block_in + 2 * RX_HALO_DEV
+    ul_end = body_end + c * t_halo * 4
+    live = io_buf[ul_end: ul_end + c] > 0  # [C]
+
+    state2, tail2, out = duplex_block_packed(cfg, spec, state, io_buf,
+                                             tx_tail, exact)
+    a = c * spec.block_in * 4
+    b = a + f * c * 8 * UL_PKT
+    tx_rows = out[:a].reshape(c, spec.block_in * 4)
+    pkt_rows = out[a:b].reshape(f * c * 8, UL_PKT)
+    det = out[b:] > 0  # [F·C·8]
+
+    # carrier index per flattened (f, c, tn) row, as 2 BE bytes
+    chan_idx = jnp.tile(jnp.repeat(jnp.arange(c, dtype=jnp.int32), 8), f)
+    chan_b = jnp.stack([(chan_idx >> 8) & 0xFF, chan_idx & 0xFF],
+                       axis=-1).astype(jnp.uint8)
+    rows160 = jnp.concatenate([pkt_rows, chan_b], axis=-1)
+
+    n_rows = f * c * 8
+    pos = jnp.where(det, jnp.cumsum(det) - 1, n_rows)
+    pkt_buf = jnp.zeros((n_rows + 1, UL_PKT_C), jnp.uint8)
+    pkt_buf = pkt_buf.at[pos].set(rows160, mode="drop")
+
+    lpos = jnp.where(live, jnp.cumsum(live) - 1, c)
+    tx_buf = jnp.zeros((c + 1, spec.block_in * 4), jnp.uint8)
+    tx_buf = tx_buf.at[lpos].set(tx_rows, mode="drop")
+
+    hdr = jnp.concatenate([_be32(det.sum().astype(jnp.int32)),
+                           _be32(live.sum().astype(jnp.int32))])
+    return state2, tail2, hdr, tx_buf, pkt_buf
+
+
+def pack_dl_buffer_live(bits: Array, valid: Array, gain: Array, fn0: int,
+                        tx_fn0: int, ul_i16: np.ndarray,
+                        live: np.ndarray) -> np.ndarray:
+    """`pack_dl_buffer` + the [C] live-carrier mask consumed by
+    `duplex_block_compact` (host-computed: a carrier is live unless its
+    current AND previous downlink windows were pure filler)."""
+    base = pack_dl_buffer(bits, valid, gain, fn0, tx_fn0, ul_i16=ul_i16)
+    return np.concatenate([base,
+                           np.asarray(live, np.uint8).reshape(-1)])
 
 
 def unpack_block_result(out: np.ndarray, n_chan: int, spec: UplinkSpec

@@ -181,14 +181,9 @@ def _downlink_shard(cfg_local: eng.TrxConfig, spec: ShardedPipelineSpec,
     sendHistory on this path, Transceiver/radioInterface.cpp:123-186).
     Must run inside `shard_map`; returns [C_local, block_in]."""
     from openbts_ttsou_tpu.models.transceiver import _assemble_stream
-    from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME
 
-    def frame_step(fn, inp):
-        b, v, a = inp
-        out = eng.tx_step(cfg_local, state0, b, v, a, fn)
-        return (fn + 1) % HYPERFRAME, out
-
-    _, slots = lax.scan(frame_step, fn_start, (dl_bits, dl_valid, dl_atten))
+    del fn_start  # tx_frames: the whole shard modulates in one batch
+    slots = eng.tx_frames(cfg_local, state0, dl_bits, dl_valid, dl_atten)
     sym = _assemble_stream(slots)  # [C_local, F·1250]
     h = resample_halo(spec.q, spec.p, 651)  # symbols per side (65)
     if collectives:

@@ -347,13 +347,77 @@ class SMq:
             return "Done."
         return "Unknown Command"
 
-    def save_queue_to_file(self, path: str) -> int:
-        """Snapshot the queue (save_queue_to_file, smqueue.cpp): one
-        line per message — state, sender, recipient, body."""
+    def save_queue_to_file(self, path: str,
+                           now: Optional[float] = None) -> int:
+        """Snapshot the queue (save_queue_to_file, smqueue.cpp:2009):
+        a `=== <state> <delay> …` header per message followed by the
+        length-delimited body, like the reference's `=== state time
+        addr len \\n text` records. Timeouts are stored as remaining
+        delay (our clock is monotonic, not wall time), so a reload
+        re-arms each message's pending timer rather than firing
+        everything at once."""
+        now = systime.monotonic() if now is None else now
         with open(path, "w") as f:
             for x in sorted(self._heap):
-                f.write(f"{int(x.state)} {x.frm} {x.to} {x.body!r}\n")
+                delay = max(0.0, x.next_action_time - now)
+                body = x.body.encode()
+                f.write(f"=== {int(x.state)} {delay:.3f} {x.retries} "
+                        f"{x.frm or '-'} {x.to or '-'} "
+                        f"{x.call_id or '-'} {x.dest_imsi or '-'} "
+                        f"{x.dest_url or '-'} {len(body)}\n")
+                f.write(x.body + "\n")
+        log.info("saved %d queued messages to %s", len(self._heap), path)
         return len(self._heap)
+
+    def read_queue_from_file(self, path: str,
+                             now: Optional[float] = None) -> int:
+        """Reload a saved queue at boot (read_queue_from_file,
+        smqueue.cpp:2041; wired at startup smqueue.cpp:2225-2232):
+        each record resumes in its saved state with its remaining
+        timeout re-armed. Malformed records are skipped and counted,
+        like the reference's howmanyerrs path. Returns messages
+        loaded."""
+        now = systime.monotonic() if now is None else now
+        try:
+            f = open(path)
+        except OSError:
+            log.warning("failed to read queue from %s", path)
+            return 0
+        loaded = errs = 0
+        with f:
+            while True:
+                hdr = f.readline()
+                if not hdr:
+                    break
+                parts = hdr.split()
+                if len(parts) != 10 or parts[0] != "===":
+                    errs += 1
+                    continue
+                try:
+                    state = ShortMsgState(int(parts[1]))
+                    delay = float(parts[2])
+                    retries = int(parts[3])
+                    nbytes = int(parts[9])
+                except (ValueError, KeyError):
+                    errs += 1
+                    continue
+                body = f.read(nbytes)
+                f.readline()  # trailing newline
+                if len(body.encode()) < nbytes:
+                    errs += 1
+                    break  # truncated file
+                frm, to, call_id, imsi, url = (
+                    "" if p == "-" else p for p in parts[4:9])
+                msg = ShortMsg(now + delay, next(self._seq), frm, to,
+                               body, state, retries=retries,
+                               call_id=call_id, dest_imsi=imsi,
+                               dest_url=url)
+                if state == ShortMsgState.DeleteMeState:
+                    continue  # already terminal; don't resurrect
+                heapq.heappush(self._heap, msg)
+                loaded += 1
+        log.info("read %d messages total, %d bad ones", loaded, errs)
+        return loaded
 
     # -- ingress -------------------------------------------------------
     def submit(self, frm: str, to: str, body: str,
@@ -539,6 +603,9 @@ def main():  # pragma: no cover - manual entry point
     ap.add_argument("--port", type=int, default=5063)
     ap.add_argument("--relay-host", default="127.0.0.1")
     ap.add_argument("--relay-port", type=int, default=5062)
+    ap.add_argument("--savefile", default="/tmp/savedqueue.txt",
+                    help="queue snapshot read at boot / written at "
+                         "exit (gConfig 'savefile', smqueue.cpp:2225)")
     args = ap.parse_args()
     sock = UdpTransport(args.port, args.relay_host, args.relay_port)
     registry: dict[str, str] = {}
@@ -547,24 +614,31 @@ def main():  # pragma: no cover - manual entry point
               resolve=lambda u: u if (u in registry or u.isdigit())
               else None,
               local_port=args.port)
-    log.warning("smqueue listening on %d", args.port)
-    while True:
-        data = sock.recv(4096, timeout_ms=200)
-        if data:
-            try:
-                msg = SIPMessage.parse(data)
-            except Exception:
-                continue
-            if msg.is_request and msg.method == "MESSAGE":
-                sock.send(smq.handle_sip_message(msg).render())
-            elif msg.is_request and msg.method == "REGISTER":
-                user = msg.uri_user("from") or ""
-                registry[user] = user
-                sock.send(make_response(msg, 200, "OK").render())
-            elif not msg.is_request:
-                smq.handle_delivery_response(msg.call_id() or "",
-                                             msg.status)
-        smq.process_queue()
+    smq.read_queue_from_file(args.savefile)
+    log.warning("smqueue listening on %d, queue holds %d msgs",
+                args.port, smq.queue_size())
+    try:
+        while not smq.quit_requested:
+            data = sock.recv(4096, timeout_ms=200)
+            if data:
+                try:
+                    msg = SIPMessage.parse(data)
+                except Exception:
+                    continue
+                if msg.is_request and msg.method == "MESSAGE":
+                    sock.send(smq.handle_sip_message(msg).render())
+                elif msg.is_request and msg.method == "REGISTER":
+                    user = msg.uri_user("from") or ""
+                    registry[user] = user
+                    sock.send(make_response(msg, 200, "OK").render())
+                elif not msg.is_request:
+                    smq.handle_delivery_response(msg.call_id() or "",
+                                                 msg.status)
+            smq.process_queue()
+    finally:
+        # save on the way out, like both exit legs of smqueue's main
+        # (smqueue.cpp:2241-2252)
+        smq.save_queue_to_file(args.savefile)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -348,16 +348,18 @@ class BlockTrxDaemon(TrxDaemon):
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
                  block_frames: int = 13, pipeline_depth: int = 1,
-                 exact: bool = False):
+                 exact: bool = True, compact: bool = True):
         from openbts_ttsou_tpu.models.transceiver import UplinkSpec
 
         super().__init__(radio, cfg)
         #: per-frame rx_step scan (the reference's exact pullRadioVector
         #: semantics) vs the once-per-block `process_block_fast`
-        #: refresh — the block mode measures faster INSIDE the duplex
-        #: fusion (830 vs 602 Msps at 512 carriers; see
-        #: duplex_block_wire), so it is the daemon default; exact=True
-        #: buys per-frame threshold semantics at that cost
+        #: refresh. Since the tx leg became one batched modulation
+        #: (eng.tx_frames), exact mode WINS inside the duplex fusion
+        #: (1032 vs 854 Msps at 512 carriers, BENCH_r04_sweep.json), so
+        #: the daemon defaults to the reference's per-frame semantics;
+        #: exact=False opts into the throughput-block refresh (drift
+        #: envelope: tests/test_fast_drift.py)
         self.exact = exact
         assert block_frames % 13 == 0, \
             "65/96 streaming needs 13-frame multiples"
@@ -376,6 +378,13 @@ class BlockTrxDaemon(TrxDaemon):
         #: device attachments at the cost of `depth` blocks of latency.
         self.pipeline_depth = pipeline_depth
         self._pending: list = []  # (out_buffer, rx_fn0, tx_block)
+        #: device-side result compaction (duplex_block_compact): D2H
+        #: carries only detected datagrams + live-carrier DAC rows
+        self.compact = compact
+        self._prev_any_valid = np.ones(n, bool)  # bootstrap: all live
+        self._filler_tx: np.ndarray | None = None  # cached filler block
+        self.d2h_bytes = 0  # result bytes fetched (both paths)
+        self.d2h_bytes_dense = 0  # what the dense layout would have cost
         # Radio samples cross the host/device boundary as int16 I/Q —
         # the USRP sample format — with the float conversion fused into
         # the device program (the reference burns host CPU on exactly
@@ -454,6 +463,8 @@ class BlockTrxDaemon(TrxDaemon):
 
         out, rx_fn0, tx_block = pending
         buf = np.asarray(out)  # uint8: the only sync point per block
+        self.d2h_bytes += buf.nbytes
+        self.d2h_bytes_dense += buf.nbytes
         tx, pkts, det = unpack_block_result(buf, self.cfg.n_arfcn,
                                             self.spec)
         self._write_tx(tx, tx_block)
@@ -465,14 +476,78 @@ class BlockTrxDaemon(TrxDaemon):
                 rows = pkts[:, c].reshape(-1, pkts.shape[-1])[mask]
                 self.data_socks[c].send_batch(rows)
 
+    @staticmethod
+    def _bucket(n: int, step: int) -> int:
+        """Round a row count up to a bucket so slice-fetch shapes stay
+        few (each distinct prefix length compiles one tiny gather)."""
+        return min(-(-max(n, 1) // step) * step, 1 << 30)
+
+    def _retire_compact(self, pending) -> None:
+        """Fetch block N−1's COMPACTED result: the 8-byte header, then
+        only the live DAC rows and detected datagram rows
+        (duplex_block_compact). Filler carriers replay the cached
+        filler block host-side."""
+        from openbts_ttsou_tpu.models.transceiver import UL_PKT, UL_PKT_C
+
+        (hdr, tx_buf, pkt_buf), live, cacheable, tx_block = pending
+        h = np.asarray(hdr)  # sync point
+        n_det = int.from_bytes(h[:4].tobytes(), "big")
+        n_live = int.from_bytes(h[4:8].tobytes(), "big")
+        n, t4 = self.cfg.n_arfcn, self.spec.block_in * 4
+        f = self.spec.frames
+
+        live_idx = np.flatnonzero(live)
+        assert len(live_idx) == n_live
+        tx = np.empty((n, self.spec.block_in, 2), np.int16)
+        if n_live:
+            rows = np.asarray(tx_buf[: self._bucket(n_live, 8)])
+            self.d2h_bytes += rows.nbytes
+            tx[live_idx] = rows[:n_live].view("<i2").reshape(
+                n_live, self.spec.block_in, 2)
+        if n_live < n:
+            if self._filler_tx is None:
+                # bootstrap miss: the mask said live for every carrier
+                # until a (filler, filler-tail) block has been seen
+                raise RuntimeError("filler cache empty but carrier "
+                                   "suppressed")
+            tx[live == 0] = self._filler_tx
+        elif self._filler_tx is None:
+            # capture the cache from any carrier whose current AND
+            # previous windows were filler (its output IS the periodic
+            # filler block; pattern identical across carriers)
+            cand = np.flatnonzero(cacheable)
+            if len(cand):
+                self._filler_tx = tx[cand[0]].copy()
+        self._write_tx(tx, tx_block)
+
+        if n_det:
+            prows = np.asarray(pkt_buf[: self._bucket(n_det, 256)])
+            self.d2h_bytes += prows.nbytes
+            prows = prows[:n_det]
+            chans = (prows[:, UL_PKT].astype(np.int32) << 8) | \
+                prows[:, UL_PKT + 1]
+            order = np.argsort(chans, kind="stable")
+            prows, chans = prows[order], chans[order]
+            starts = np.searchsorted(chans, np.arange(n))
+            ends = np.searchsorted(chans, np.arange(n), side="right")
+            for c in range(n):
+                if ends[c] > starts[c] and self.carrier_on[c]:
+                    self.data_socks[c].send_batch(
+                        np.ascontiguousarray(
+                            prows[starts[c]: ends[c], :UL_PKT]))
+        self.d2h_bytes += h.nbytes
+        self.d2h_bytes_dense += (n * t4 + f * n * 8 * (UL_PKT + 1))
+
     def step(self) -> None:
         """One block service iteration: control, bulk data ingest,
         dispatch block N, retire block N−1, clock beacon."""
         import jax.numpy as jnp
 
         from openbts_ttsou_tpu.models.transceiver import (
+            duplex_block_compact,
             duplex_block_packed,
             pack_dl_buffer,
+            pack_dl_buffer_live,
         )
 
         f = self.spec.frames
@@ -486,22 +561,38 @@ class BlockTrxDaemon(TrxDaemon):
         bits, valid, gain, _ = self.pending_tx.pop_block(
             self.tx_fn, f, self.cfg.n_arfcn)
         ul = self._read_ul(self._rx_block)
-        io_buf = pack_dl_buffer(bits, valid, gain, self.fn, self.tx_fn,
-                                ul_i16=ul)
-        # ONE host→device transfer, one fused program, one packed
-        # result to fetch later: the device builds the uplink datagrams
-        # itself (duplex_block_packed)
-        st, tail, out = duplex_block_packed(
-            self.engine_cfg, self.spec, self.state,
-            jnp.asarray(io_buf), self._tx_tail, self.exact)
+        if self.compact:
+            any_valid = np.asarray(valid).any(axis=(0, 2))  # [C]
+            self._cacheable = ~any_valid & ~self._prev_any_valid
+            live = any_valid | self._prev_any_valid | \
+                (self._filler_tx is None)
+            self._prev_any_valid = any_valid
+            io_buf = pack_dl_buffer_live(bits, valid, gain, self.fn,
+                                         self.tx_fn, ul, live)
+            st, tail, hdr, tx_buf, pkt_buf = duplex_block_compact(
+                self.engine_cfg, self.spec, self.state,
+                jnp.asarray(io_buf), self._tx_tail, self.exact)
+            pend = ((hdr, tx_buf, pkt_buf), np.asarray(live, bool),
+                    self._cacheable.copy(), self._tx_block)
+        else:
+            io_buf = pack_dl_buffer(bits, valid, gain, self.fn,
+                                    self.tx_fn, ul_i16=ul)
+            # ONE host→device transfer, one fused program, one packed
+            # result to fetch later: the device builds the uplink
+            # datagrams itself (duplex_block_packed)
+            st, tail, out = duplex_block_packed(
+                self.engine_cfg, self.spec, self.state,
+                jnp.asarray(io_buf), self._tx_tail, self.exact)
+            pend = (out, self.fn, self._tx_block)
         self.state, self._tx_tail = st, tail
-        self._pending.append((out, self.fn, self._tx_block))
+        self._pending.append(pend)
         self.fn = (self.fn + f) % HYPERFRAME
         self.tx_fn = (self.tx_fn + f) % HYPERFRAME
         self._rx_block += 1
         self._tx_block += 1
         while len(self._pending) > self.pipeline_depth:
-            self._retire(self._pending.pop(0))
+            p = self._pending.pop(0)
+            (self._retire_compact if self.compact else self._retire)(p)
         if (self.last_clock_fn is None or
                 (self.tx_fn - self.last_clock_fn) % HYPERFRAME
                 >= proto.CLOCK_PERIOD_FRAMES):
@@ -510,7 +601,8 @@ class BlockTrxDaemon(TrxDaemon):
     def flush(self) -> None:
         """Retire every in-flight block (call after the last step)."""
         while self._pending:
-            self._retire(self._pending.pop(0))
+            p = self._pending.pop(0)
+            (self._retire_compact if self.compact else self._retire)(p)
 
     def run(self, max_frames: int | None = None) -> None:
         n = 0

@@ -268,6 +268,15 @@ def rx_step(cfg: TrxConfig, state: TrxState, frame: Array
 
     corr_type = expected_corr_type(state.chan_type, fn)  # [C,8]
     active = (corr_type == CorrType.TSC) | (corr_type == CorrType.RACH)
+    # A RACH-typed slot outside cfg.rach_slots never runs the
+    # correlator (the reference simply has no decoder installed there)
+    # — treat it as inactive so real energy on it can't bump the
+    # carrier's threshold as a perpetual "miss"
+    if cfg.rach_slots is not None:
+        allowed = np.zeros(8, bool)
+        allowed[list(cfg.rach_slots)] = True
+        active = active & ~((corr_type == CorrType.RACH) &
+                            ~jnp.asarray(allowed)[None, :])
 
     # --- energy gate (cpp:292-303) ------------------------------------
     thr = jnp.repeat(state.energy_threshold, 8)  # [C*8]
@@ -431,15 +440,33 @@ def tx_step(cfg: TrxConfig, state: TrxState, bits: Array, valid: Array,
     the 157/156 pattern with trailing zeros).
     """
     del fn
-    c, sps = cfg.n_chan, cfg.sps
+    return tx_frames(cfg, state, bits[None], valid[None],
+                     atten_db[None])[0]
+
+
+def tx_frames(cfg: TrxConfig, state: TrxState, bits: Array, valid: Array,
+              atten_db: Array) -> Array:
+    """Modulate a WHOLE window of downlink frames in one batch.
+
+    bits [F, C, 8, 148], valid/atten_db [F, C, 8] →
+    [F, C, 8, SLOT_SAMPLES·sps]. tx_step reads only block-constant
+    state (filler table, full scale) and ignores fn, so the
+    reference's frame-at-a-time driveTransmitFIFO walk
+    (Transceiver.cpp:672-722) carries no sequential dependency — one
+    F·C·8-burst modulation replaces the F-step scan (the scan was the
+    dominant serialization inside the fused duplex program)."""
+    f, c, sps = bits.shape[0], cfg.n_chan, cfg.sps
     t = SLOT_SAMPLES * sps
-    mod = gmsk.modulate_burst(_flat(bits), sps, guard_len=9)  # [C*8, 157·sps]
+    flat = bits.reshape(f * c * 8, bits.shape[-1])
+    mod = gmsk.modulate_burst(flat, sps, guard_len=9)  # [F·C·8, 157·sps]
     scale = (cfg.tx_full_scale *
-             10.0 ** (-_flat(atten_db) / 10.0)).astype(jnp.float32)
+             10.0 ** (-atten_db.reshape(-1) / 10.0)).astype(jnp.float32)
     mod = mod * scale[:, None]
     # mask samples beyond the true slot length (157/156/156/156 pattern)
     slot_len = jnp.asarray(np.array(SLOT_SAMPLE_PATTERN, np.int32)) * sps
-    mask = jnp.arange(t)[None, :] < jnp.tile(slot_len, (c,))[:, None]
+    mask = jnp.arange(t)[None, :] < jnp.tile(slot_len, (f * c,))[:, None]
     mod = jnp.where(mask, mod[:, :t], 0.0)
-    out = jnp.where(_flat(valid)[:, None], mod, _flat(state.filler))
-    return out.reshape(c, 8, t)
+    fill = jnp.broadcast_to(state.filler.reshape(1, c * 8, t),
+                            (f, c * 8, t)).reshape(f * c * 8, t)
+    out = jnp.where(valid.reshape(-1)[:, None], mod, fill)
+    return out.reshape(f, c, 8, t)

@@ -241,10 +241,12 @@ def test_block_daemon_over_the_wire(wire_scenario):
 
 
 def test_duplex_exact_uplink_matches_uplink_block():
-    """duplex_block_wire(exact=True) — the default — must produce the
-    SAME uplink results and end state as the standalone per-frame
-    uplink_block on the identical device-rate stream: the duplex fusion
-    changes the program shape, not the engine semantics."""
+    """duplex_block_wire(exact=True) — the default since the tx leg
+    became one batched modulation (it now also measures fastest,
+    BENCH_r04_sweep.json) — must produce the SAME uplink results and
+    end state as the standalone per-frame uplink_block on the
+    identical device-rate stream: the duplex fusion changes the
+    program shape, not the engine semantics."""
     from openbts_ttsou_tpu.models.transceiver import uplink_block
 
     n = 2
@@ -294,3 +296,73 @@ def test_duplex_exact_uplink_matches_uplink_block():
     np.testing.assert_allclose(np.asarray(st_a.energy_threshold),
                                np.asarray(st_b.energy_threshold))
     assert int(st_a.fn) == int(st_b.fn)
+
+
+def test_compact_retire_matches_dense(wire_scenario):
+    """The compacted D2H path (duplex_block_compact: prefix-packed
+    detected datagrams + live-carrier DAC rows + host-side filler
+    replay) must emit byte-identical uplink datagrams and DAC blocks
+    to the dense path, while fetching strictly fewer result bytes
+    once downlink load goes sparse."""
+    from openbts_ttsou_tpu.runtime import UdpTransport
+
+    n, spec, ul_bits, dev = wire_scenario
+
+    def run(base, compact):
+        radio = ReplayBankRadio(dev.copy(), capture_tx_blocks=10)
+        daemon = BlockTrxDaemon(
+            radio, TrxDaemonConfig(base_port=base, n_arfcn=n),
+            compact=compact)
+        peer = base + 100
+        ctrl = [UdpTransport(peer + 3 * i + 1, "127.0.0.1",
+                             base + 3 * i + 1) for i in range(n)]
+        data = [UdpTransport(peer + 3 * i + 2, "127.0.0.1",
+                             base + 3 * i + 2) for i in range(n)]
+        for i in range(n):
+            for verb, a in (("RXTUNE", (890000,)), ("TXTUNE", (935000,)),
+                            ("SETTSC", (0,))):
+                ctrl[i].send(proto.pack_command(verb, *a))
+            for tn in range(1, 8):
+                ctrl[i].send(proto.pack_command("SETSLOT", tn, 1))
+        daemon.step()
+        for i in range(n):
+            ctrl[i].send(proto.pack_command("POWERON"))
+        daemon.step()
+        # downlink: ONE real burst window on carrier 0 only, then
+        # nothing — later blocks are pure filler on every carrier, so
+        # the compact path's filler suppression engages
+        dl = _norm_burst(seed=7)
+        q0 = daemon.tx_fn
+        for fn in range(q0, q0 + 13):
+            data[0].send(proto.pack_downlink(proto.DownlinkBurst(
+                3, fn, 0, dl)))
+        for _ in range(6):
+            daemon.step()
+        daemon.flush()
+        got = {i: [] for i in range(n)}
+        for i in range(n):
+            while True:
+                d = data[i].recv(256, timeout_ms=50)
+                if not d:
+                    break
+                got[i].append(d)
+        return daemon, radio, got
+
+    d_dense, r_dense, got_dense = run(46700, compact=False)
+    d_comp, r_comp, got_comp = run(46900, compact=True)
+
+    # identical uplink datagram streams
+    for i in range(n):
+        assert got_comp[i] == got_dense[i], f"carrier {i} datagrams differ"
+        assert len(got_comp[i]) >= 7 * 13 * 2
+    # identical DAC blocks, including the filler-replayed ones
+    assert len(r_comp.tx_log) == len(r_dense.tx_log)
+    for (ts_c, tx_c), (ts_d, tx_d) in zip(r_comp.tx_log, r_dense.tx_log):
+        assert ts_c == ts_d
+        assert np.array_equal(tx_c, tx_d)
+    # the filler cache engaged and bytes actually shrank
+    assert d_comp._filler_tx is not None, "filler cache never captured"
+    assert d_comp.d2h_bytes < d_dense.d2h_bytes, (
+        d_comp.d2h_bytes, d_dense.d2h_bytes)
+    assert d_comp.d2h_bytes_dense == pytest.approx(
+        d_dense.d2h_bytes, rel=0.01)

@@ -381,3 +381,106 @@ def test_emergency_call_routes_to_dispatch(layer):
     assert t.called == "911"  # dialed digits overridden
     msg = SIPMessage.parse(layer._sip_out.pop(0))
     assert msg.method == "INVITE" and "911" in msg.uri
+
+
+class FakeTCHChannel(FakeChannel):
+    """A fake dedicated TCH/F (FACCH signalling) for very-early flows."""
+
+    is_tch = True
+
+    def __init__(self, tn=2):
+        super().__init__(tn)
+        self.tn = tn
+
+    def close(self):
+        pass
+
+
+def test_veryearly_moc_mode_modify(layer):
+    """Very-early assignment MOC: the call starts on a TCH/F and the
+    network must switch it to speech mode with ChannelModeModify,
+    blocking on the acknowledge (MOCStarter veryEarly,
+    CallControl.cpp:666-680)."""
+    layer.bts.config.set("GSM.AssignmentType", "veryearly")
+    tch = FakeTCHChannel()
+    layer.bts.add_tch(tch)
+    ch = layer.handle_rach(0x21, Time(9000, 0), -60, 0.0)
+    assert ch is tch, "veryearly access grant must allocate the TCH"
+    ia = parse_l3(layer.bts.next_ccch_frame().bits)
+    assert ia.channel.type_and_offset == 1  # TCH/F channel type
+
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(tch, req.encode())
+    tch.sent.clear()
+    layer.dispatch_l3(
+        tch, cc.Setup(cc.CalledPartyBCDNumber("2125559999")).encode())
+    proc, _ = tch.pop_l3()
+    assert isinstance(proc, cc.CallProceeding)
+    cmm, _ = tch.pop_l3()
+    assert isinstance(cmm, rr.ChannelModeModify)
+    assert cmm.mode == rr.ChannelMode.SpeechV1
+    assert cmm.channel.type_and_offset == 1 and cmm.channel.tn == tch.tn
+    assert not tch.sent  # network waits for the acknowledge
+
+    t = layer.transactions.entries()[-1]
+    assert t.pending_mode == rr.ChannelMode.SpeechV1
+    layer.dispatch_l3(tch, rr.ChannelModeModifyAcknowledge(
+        cmm.channel, rr.ChannelMode.SpeechV1).encode())
+    assert t.pending_mode is None
+    assert getattr(t, "tch", None) is tch
+    assert not any(isinstance(parse_l3(l3.bits), cc.Disconnect)
+                   for l3, _ in tch.sent)
+
+
+def test_veryearly_mode_modify_refused_aborts(layer):
+    """A mismatched mode in the acknowledge aborts the call with cause
+    0x06 "channel unacceptable" (CallControl.cpp:676-680)."""
+    layer.bts.config.set("GSM.AssignmentType", "veryearly")
+    tch = FakeTCHChannel()
+    layer.bts.add_tch(tch)
+    assert layer.handle_rach(0x22, Time(9100, 0), -60, 0.0) is tch
+    layer.dispatch_l3(tch, mm.CMServiceRequest(
+        service_type=1,
+        identity=common.MobileIdentity.imsi(IMSI)).encode())
+    layer.dispatch_l3(
+        tch, cc.Setup(cc.CalledPartyBCDNumber("100")).encode())
+    tch.sent.clear()
+    layer.dispatch_l3(tch, rr.ChannelModeModifyAcknowledge(
+        mode=rr.ChannelMode.SignallingOnly).encode())
+    disc, _ = tch.pop_l3()
+    assert isinstance(disc, cc.Disconnect)
+    assert disc.cause.value == 0x06
+
+
+def test_assignment_failure_reclaims_tch(layer):
+    """L3 Assignment Failure: the MS stayed on the old channel — the
+    reserved TCH returns to the pool and the call aborts
+    (L3AssignmentFailure, GSML3RRMessages.h:654)."""
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+
+    tch = FakeTCHChannel()
+    layer.bts.add_tch(tch)
+    layer.dispatch_l3(ch, mm.CMServiceRequest(
+        service_type=1,
+        identity=common.MobileIdentity.imsi(IMSI)).encode())
+    layer.dispatch_l3(
+        ch, cc.Setup(cc.CalledPartyBCDNumber("8005550000")).encode())
+    assert layer.bts.tch_available() == 0  # reserved by AssignmentCommand
+    ch.sent.clear()
+    layer.dispatch_l3(ch, rr.AssignmentFailure(cause=0x01).encode())
+    assert layer.bts.tch_available() == 1, "TCH not reclaimed"
+    disc, _ = ch.pop_l3()
+    assert isinstance(disc, cc.Disconnect) and disc.cause.value == 0x06
+
+
+def test_rr_status_is_logged_not_fatal(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    layer.dispatch_l3(ch, mm.CMServiceRequest(
+        service_type=1,
+        identity=common.MobileIdentity.imsi(IMSI)).encode())
+    n = layer.transactions.size()
+    layer.dispatch_l3(ch, rr.RRStatus(cause=0x62).encode())
+    assert layer.transactions.size() == n  # nothing torn down

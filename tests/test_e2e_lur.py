@@ -127,6 +127,10 @@ def rig():
         ch.l1.clock = app.bts.clock.fn
         if ch.sacch is not None:
             ch.sacch.clock = app.bts.clock.fn
+    # TCH FACCH LAPDm timers must follow the simulated frame clock too
+    # (the very-early flow signals on the FACCH)
+    for tch in app.bts.tch_pool:
+        tch.l1.clock = app.bts.clock.fn
     sip_out = []
     app.control.sip_send = sip_out.append
     # deterministic bring-up: configure the daemon directly
@@ -881,3 +885,218 @@ def test_over_the_air_sms_via_smqueue(rig):
     assert deliver is not None, "forwarded SMS never delivered OTA"
     assert deliver.text == TEXT
     assert deliver.orig == "5553000"
+
+
+def test_over_the_air_veryearly_call(rig):
+    """Very-early assignment MO call over the air: the MS RACHes and is
+    granted a TCH/F directly; all signalling rides the FACCH (8-burst
+    diagonal, stealing flags); the network switches the channel to
+    speech mode with ChannelModeModify and blocks on the MS's
+    acknowledge (MOCStarter veryEarly, CallControl.cpp:666-680); then
+    uplink speech flows on the SAME channel and bridges to RTP."""
+    import socket
+    import struct
+
+    from openbts_ttsou_tpu.control.voice import rtp_to_payload
+    from openbts_ttsou_tpu.gsm import channels
+    from openbts_ttsou_tpu.gsm.l3 import cc
+    from openbts_ttsou_tpu.gsm.transfer import (
+        ChannelType, L3Frame, Primitive, RxBurst,
+    )
+    from openbts_ttsou_tpu.sip.message import SIPMessage as SIPMsg
+    from openbts_ttsou_tpu.sip.message import make_sdp
+    from openbts_ttsou_tpu.trx import protocol as proto
+
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    ms = MS(radio, daemon, app.bts.bcc)
+    rng = np.random.default_rng(11)
+    app.bts.config.set("GSM.AssignmentType", "veryearly")
+    try:
+        # the daemon must expect traffic bursts on every TCH slot
+        for tch in app.bts.tch_pool:
+            daemon.handle_control(
+                proto.pack_command("SETSLOT", tch.tn, 1))
+        free_before = app.bts.tch_available()
+
+        # --- RACH → Immediate Assignment straight onto a TCH/F --------
+        fn_r = daemon.fn + 8
+        while fn_r % 51 not in range(14, 37):
+            fn_r += 1
+        ms.tx_rach(0x2B, fn_r)
+        for _ in range(80):
+            pump(app, daemon)
+            if app.bts.tch_available() < free_before:
+                break
+        assert app.bts.tch_available() < free_before, \
+            "veryearly access grant did not allocate a TCH"
+        ia = None
+        fn = fn_r
+        while fn < fn_r + 160 and ia is None:
+            pump(app, daemon)
+            while fn < daemon.fn - 5:
+                if fn % 51 == 6:
+                    frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                    if frame is not None:
+                        msg = parse_l3(frame.bits[8:])
+                        if isinstance(msg, rr.ImmediateAssignment) and \
+                                msg.reference.ra == 0x2B:
+                            ia = msg
+                            break
+                fn += 1
+        assert ia is not None
+        assert ia.channel.type_and_offset == 1, "IA must assign a TCH/F"
+        tch_tn = ia.channel.tn
+        bts_tch = next(t for t in app.bts.tch_pool if t.tn == tch_tn)
+
+        # --- MS-side FACCH modem: tx + rx TCH/F L1s + LAPDm -----------
+        ms_l2 = L2LAPDm(c=0, sapi=0, chan_type=ChannelType.FACCH)
+        ms_tx = channels.TCHFACCHL1(tch_tn, tdma.FACCH_TCHF,
+                                    tdma.FACCH_TCHF, tsc=app.bts.bcc)
+        ms_tx.open(0)
+        ms_rx = channels.TCHFACCHL1(tch_tn, tdma.FACCH_TCHF,
+                                    tdma.FACCH_TCHF, tsc=app.bts.bcc)
+        ms_rx.open(0)
+
+        class _Sink:
+            def write_low_side(self, frame):
+                ms_l2.write_low_side(frame)
+
+        ms_rx.upstream = _Sink()
+        fn_scan = daemon.fn - 2
+        got = []
+
+        def ms_drive(rounds, want=None):
+            """Pump; demodulate the downlink FACCH; send MS frames."""
+            nonlocal fn_scan
+            for _ in range(rounds):
+                pump(app, daemon)
+                while fn_scan < daemon.fn - 5:
+                    if tdma.FACCH_TCHF.reverse(fn_scan) is not None:
+                        soft = ms.rx_soft(fn_scan, tn=tch_tn)
+                        if soft is not None:
+                            ms_rx.write_low_side(
+                                RxBurst(soft, fn=fn_scan, tn=tch_tn))
+                    fn_scan += 1
+                outs = ms_l2.take_l1_out()
+                if outs:
+                    ms_tx.resync(daemon.fn, lead=5)
+                    for out in outs:
+                        ms_tx.send_l2(out)
+                    while ms_tx._facch_q or (
+                            ms_tx._offset != 0 and ms_tx.tx_queue):
+                        ms_tx.dispatch_block()
+                    ms_tx.dispatch_block()  # flush the second diagonal
+                while ms_tx.tx_queue and \
+                        ms_tx.tx_queue[0].fn <= daemon.fn + 30:
+                    b = ms_tx.tx_queue.popleft()
+                    if b.fn > daemon.fn - 2:
+                        ms.tx_burst(b.bits, b.fn, tn=tch_tn)
+                while (l3 := ms_l2.read_high_side()) is not None:
+                    if len(l3.bits) >= 16:
+                        m = parse_l3(l3.bits)
+                        if m is not None:
+                            got.append(m)
+                            if want is not None and isinstance(m, want):
+                                return m
+            return None
+
+        # --- establish on the FACCH with CM Service Request -----------
+        req = mm.CMServiceRequest(
+            service_type=1, identity=l3c.MobileIdentity.imsi(IMSI))
+        ms_l2._send_u(FrameType.SABM, True, ms_l2.c, req.encode())
+        ms_l2.state = LAPDState.AwaitingEstablish
+        acc = ms_drive(200, mm.CMServiceAccept)
+        assert acc is not None, f"no CMServiceAccept on FACCH; got {got}"
+
+        # --- Setup → CallProceeding + ChannelModeModify ----------------
+        ms_l2.write_high_side(L3Frame(
+            cc.Setup(cc.CalledPartyBCDNumber("7005551111")).encode(),
+            Primitive.DATA))
+        cmm = ms_drive(300, rr.ChannelModeModify)
+        assert cmm is not None, f"no ChannelModeModify; got {got}"
+        assert cmm.mode == rr.ChannelMode.SpeechV1
+        assert cmm.channel.type_and_offset == 1
+        assert cmm.channel.tn == tch_tn
+        assert any(isinstance(m, cc.CallProceeding) for m in got)
+        invite = next(SIPMsg.parse(b) for b in sip_out
+                      if SIPMsg.parse(b).method == "INVITE")
+        sip_out.clear()
+
+        # --- MS acknowledges the mode change ---------------------------
+        ms_l2.write_high_side(L3Frame(
+            rr.ChannelModeModifyAcknowledge(
+                cmm.channel, cmm.mode).encode(), Primitive.DATA))
+        t = max((x for x in app.control.transactions.entries()
+                 if x.imsi == IMSI and x.called == "7005551111"),
+                key=lambda x: x.id)
+        for _ in range(12):
+            ms_drive(30)
+            if getattr(t, "pending_mode", "unset") is None:
+                break
+        assert getattr(t, "pending_mode", "unset") is None, \
+            f"mode-modify ack not processed; got {got}"
+        assert getattr(t, "tch", None) is bts_tch
+
+        # --- remote answers; MS connects; voice pump attaches ----------
+        rtp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        rtp_sock.bind(("127.0.0.1", 0))
+        rtp_sock.setblocking(False)
+        app.control.on_sip_response(
+            t, bts_tch, make_response(
+                invite, 200, "OK", to_tag="ve",
+                body=make_sdp("127.0.0.1",
+                              rtp_sock.getsockname()[1])))
+        conn = ms_drive(200, cc.Connect)
+        assert conn is not None, f"no Connect on FACCH; got {got}"
+        ack = cc.ConnectAcknowledge()
+        ack.ti = conn.ti & 0x7  # MS echoes the TI without the flag
+        ms_l2.write_high_side(L3Frame(ack.encode(), Primitive.DATA))
+        for _ in range(10):
+            ms_drive(20)
+            if getattr(t, "voice", None) is not None:
+                break
+        assert getattr(t, "voice", None) is not None, \
+            "voice pump not attached after ConnectAcknowledge"
+
+        # --- uplink speech on the SAME channel -------------------------
+        fn0 = daemon.fn + 6
+        while not (tdma.FACCH_TCHF.reverse(fn0) is not None
+                   and tdma.FACCH_TCHF.reverse(fn0) % 8 == 0):
+            fn0 += 1
+        ms_tx.next_write_fn = fn0
+        ms_tx._offset = 0
+        ms_tx._itx[:] = 0
+        speech = [rng.integers(0, 2, 260).astype(np.uint8)
+                  for _ in range(3)]
+        for fr in speech:
+            ms_tx.send_tch(fr)
+        for _ in range(4):
+            ms_tx.dispatch_block()
+        bursts = list(ms_tx.tx_queue)
+        ms_tx.tx_queue.clear()
+        rtp_in = []
+        bi = 0
+        for _ in range(300):
+            while bi < len(bursts) and bursts[bi].fn <= daemon.fn + 6:
+                b = bursts[bi]
+                ms.tx_burst(b.bits, b.fn, tn=tch_tn)
+                bi += 1
+            pump(app, daemon)
+            try:
+                while True:
+                    data, _ = rtp_sock.recvfrom(2048)
+                    if len(data) >= 12 + 33:
+                        rtp_in.append(data[12:])
+            except BlockingIOError:
+                pass
+            if len(rtp_in) >= 2 and bi >= len(bursts):
+                break
+        ups = [rtp_to_payload(p) for p in rtp_in]
+        ups = [u for u in ups if u is not None]
+        matches = sum(any(np.array_equal(u, s) for s in speech)
+                      for u in ups)
+        assert matches >= 2, \
+            f"uplink speech not bridged after mode set ({len(ups)})"
+    finally:
+        app.bts.config.set("GSM.AssignmentType", "early")

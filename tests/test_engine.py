@@ -407,3 +407,33 @@ def test_estimation_gate_skips_and_matches():
     assert bool(np.asarray(st4.chan_valid)[0, 2])
     assert np.abs(np.asarray(st4.chan_response)[0, 2]).sum() > 0.0
     assert np.asarray(st4.chan_response).shape[-1] == CHAN_TAPS
+
+
+def test_rach_slots_excluded_slot_no_threshold_miss():
+    """Energy on a RACH-typed slot OUTSIDE cfg.rach_slots must not be
+    accounted as a miss: the reference never runs a correlator there
+    (no decoder installed), so it registers no false alarm. Without the
+    mask, repeated RACH energy on an excluded slot would bump the
+    carrier's threshold +10 per frame and degrade every slot."""
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 4] = ChanType.IV  # RACH-typed, excluded below
+    rb = 9000.0 * np.asarray(
+        gmsk.modulate_burst(rach_burst_bits()[None], 1, guard_len=9))[0]
+    cfg = TrxConfig(n_chan=1, rach_slots=(0,))
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+    thr0 = float(np.asarray(state.energy_threshold)[0])
+    for _ in range(3):
+        frame = _mk_frame(cfg, {(0, 4): rb})
+        state, res = rx_step(cfg, state, frame)
+        assert not bool(np.asarray(res.detected)[0, 4])
+    # threshold may fall (quiet decay) but must never be bumped +10
+    assert float(np.asarray(state.energy_threshold)[0]) <= thr0
+
+    # block mode: same contract
+    from openbts_ttsou_tpu.models.transceiver import process_block_fast
+
+    state_b = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
+    sym = np.zeros((1, 13 * 1250), np.complex64)
+    sym[0, 4 * 157: 4 * 157 + len(rb)] = rb  # slot 4 of frame 0
+    state_b2, _ = process_block_fast(cfg, 13, state_b, jnp.asarray(sym))
+    assert float(np.asarray(state_b2.energy_threshold)[0]) <= thr0

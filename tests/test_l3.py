@@ -180,3 +180,27 @@ def test_measurement_report():
     assert out.rxlev_full == 45 and out.rxlev_sub == 40
     assert out.rxqual_full == 2 and out.rxqual_sub == 1
     assert out.dtx_used == 1
+
+
+def test_mode_modify_and_rr_status_round_trip():
+    """The very-early-assignment RR set: ChannelModeModify/Ack,
+    AssignmentFailure, RRStatus (GSML3RRMessages.h:654,678,703,731)."""
+    cmm = rr.ChannelModeModify(
+        rr.ChannelDescription(type_and_offset=1, tn=5, tsc=3, arfcn=77),
+        rr.ChannelMode.SpeechV1)
+    out = round_trip(cmm)
+    assert out.channel.tn == 5 and out.channel.tsc == 3
+    assert out.channel.arfcn == 77
+    assert out.mode == rr.ChannelMode.SpeechV1
+
+    ack = rr.ChannelModeModifyAcknowledge(
+        rr.ChannelDescription(type_and_offset=1, tn=5),
+        rr.ChannelMode.SpeechV1)
+    out = round_trip(ack)
+    assert out.mode == rr.ChannelMode.SpeechV1 and out.channel.tn == 5
+
+    fail = round_trip(rr.AssignmentFailure(cause=0x06))
+    assert fail.cause == 0x06
+
+    status = round_trip(rr.RRStatus(cause=0x62))
+    assert status.cause == 0x62

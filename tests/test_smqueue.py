@@ -282,3 +282,63 @@ def test_shortcode_2336_debug_dump(smq):
     n0 = smq.queue_size()
     smq.submit("1001", "2336", "")
     assert smq.queue_size() == n0  # SCA_DONE: no reply queued
+
+
+def test_queue_save_and_reload(tmp_path, smq):
+    """Boot-time queue reload (read_queue_from_file, smqueue.cpp:2041;
+    wired at startup :2225-2232): submit → save → new SMq → load →
+    delivery proceeds with states, retries and remaining timeouts
+    intact."""
+    import time as systime
+
+    now = systime.monotonic()
+    m1 = smq.submit("1001", "2001", "persist me")
+    m2 = smq.submit("1002", "2002", "multi\nline body")
+    m2.retries = 3
+    m2.dest_imsi = "001010123456789"
+    m2.call_id = "abc@host"
+    # advance m1 into a waiting state with a pending timeout
+    drive(smq, now, 2)
+    pending = [m for m in smq._heap
+               if m.state != ShortMsgState.DeleteMeState]
+    assert pending
+    path = tmp_path / "savedqueue.txt"
+    n = smq.save_queue_to_file(str(path), now=now)
+    assert n == len(smq._heap)
+
+    sent2 = []
+    q2 = SMq(send=lambda to, req: sent2.append((to, req)),
+             resolve=lambda user: smq._registry.get(user))
+    loaded = q2.read_queue_from_file(str(path), now=now)
+    assert loaded == len([m for m in smq._heap
+                          if m.state != ShortMsgState.DeleteMeState])
+    by_key = {(m.frm, m.to): m for m in q2._heap}
+    r1 = by_key[("1001", "2001")]
+    r2 = by_key[("1002", "2002")]
+    assert r1.body == "persist me"
+    assert r2.body == "multi\nline body"
+    assert r2.retries == 3 and r2.dest_imsi == "001010123456789"
+    assert r2.call_id == "abc@host"
+    # states and remaining timeouts survive
+    orig = {(m.frm, m.to): m for m in smq._heap}
+    for k, r in by_key.items():
+        assert r.state == orig[k].state
+        assert abs(r.next_action_time - orig[k].next_action_time) < 0.01
+    # delivery proceeds on the reloaded queue
+    for _ in range(8):
+        q2.process_queue(now=systime.monotonic() + 1e6)
+    assert any(to == "2001" for to, _ in sent2), \
+        "reloaded message was not delivered"
+
+
+def test_queue_reload_skips_bad_records(tmp_path, smq):
+    path = tmp_path / "q.txt"
+    good = smq.submit("1001", "2001", "ok")
+    smq.save_queue_to_file(str(path))
+    text = path.read_text()
+    path.write_text("=== bogus header line\n" + text +
+                    "=== 1 0.0 0 a b - - - 99999\ntrunc\n")
+    q2 = SMq(send=lambda to, req: None, resolve=lambda u: None)
+    assert q2.read_queue_from_file(str(path)) == 1
+    assert q2._heap[0].body == "ok"
+    assert q2.read_queue_from_file(str(tmp_path / "missing.txt")) == 0

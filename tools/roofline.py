@@ -32,8 +32,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# TPU v5e (v5 lite) public peaks: 197 TFLOP/s bf16, half that for
-# fp32-accumulated matmul paths, 819 GB/s HBM BW.
+# TPU v5e (v5 lite) public peaks: 197 TFLOP/s bf16, one QUARTER of
+# that for fp32 matmul on the MXU (fp32 operands take 4 bf16 passes),
+# 819 GB/s HBM BW.
 PEAK_BF16 = 197e12
 PEAK_F32 = 49e12  # fp32 matmul on the MXU (no bf16 downcast in this chain)
 PEAK_HBM = 819e9
