@@ -490,6 +490,71 @@ def downlink_block_encoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                           fn0)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def downlink_block_tch(cfg: eng.TrxConfig, spec: UplinkSpec,
+                       state: eng.TrxState, frames184: Array,
+                       xcch_valid: Array, speech: Array, sp_valid: Array,
+                       facch: Array, fa_valid: Array, tch_mask: Array,
+                       atten_db: Array, carry, fn0: Array
+                       ) -> tuple[Array, tuple]:
+    """Full FEC-in-program downlink with TCH/FS + FACCH: the fused
+    device program now carries speech, mirroring the uplink direction's
+    on-device TCH decoder (decode_block).
+
+    XCCH leg: frames184 [G, C, 8, 184] air-order L2 frames on the
+    G = frames//4 FN%4-aligned groups (XCCHL1Encoder::sendFrame,
+    GSML1FEC.cpp:768-849), masked by xcch_valid [G, C, 8].
+    TCH leg: speech [Gt, C, 8, 260] coder-order vocoder frames
+    (sp_valid [Gt, C, 8]) and facch [Gt, C, 8, 184] (fa_valid) feed
+    the windowed diagonal interleaver (tch_tx_window; 260-bit class
+    1a/1b/2 partition + 3-bit CRC + 378/78 split + 8-burst diagonal +
+    stealing flags — TCHFACCHL1Encoder, GSML1FEC.cpp:1106-1120,
+    1280-1393), with `carry` from `l1fec.TchTxCarry.zeros(C*8)`
+    threading the cross-window diagonal halves. tch_mask [C, 8] bool
+    selects which slots are TCH/F; all others take the XCCH leg.
+    atten_db [frames, C, 8]. Returns ([C, spec.block_in] device-rate
+    samples, carry'); slots with no content transmit the filler table.
+    """
+    from openbts_ttsou_tpu.gsm import l1fec
+    from openbts_ttsou_tpu.utils import constants as C
+
+    f, c = spec.frames, cfg.n_chan
+    g = frames184.shape[0]
+    gt = speech.shape[0]
+
+    # ---- XCCH leg (downlink_block_encoded's body) ---------------------
+    bursts = l1fec.xcch_encode(frames184, tsc=None)  # [G, C, 8, 4, 148]
+    xb = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, 8, 148)
+    pad = f - g * 4
+    xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    xv = jnp.pad(jnp.repeat(xcch_valid, 4, axis=0),
+                 ((0, pad), (0, 0), (0, 0)))
+
+    # ---- TCH/FS + FACCH leg -------------------------------------------
+    n = c * 8
+    tb, t_isburst, _hu, carry2 = l1fec.tch_tx_window(
+        speech.reshape(gt, n, 260), sp_valid.reshape(gt, n),
+        facch.reshape(gt, n, 184), fa_valid.reshape(gt, n),
+        carry, fn0, f)
+    tb = tb.reshape(f, c, 8, 148)
+    t_isburst = t_isburst.reshape(f, c, 8)
+    # a TCH slot transmits every burst frame of the window (speech,
+    # FACCH or coded silence) — only SACCH/idle frames fall through
+    tv = t_isburst & tch_mask[None]
+
+    bits = jnp.where(tch_mask[None, :, :, None], tb, xb)
+    valid = jnp.where(tch_mask[None], tv, xv)
+    # TSC per carrier from the SETTSC plane (both encoders left the
+    # midamble zeroed)
+    tsc_bank = jnp.asarray(np.asarray(C.TRAINING_SEQUENCE, np.uint8))
+    mid = tsc_bank[state.tsc]  # [C, 26]
+    bits = bits.at[..., 61:87].set(
+        mid[None, :, None, :].astype(bits.dtype))
+    out = downlink_block(cfg, spec, state, bits.astype(jnp.uint8),
+                         valid, atten_db, fn0)
+    return out, carry2
+
+
 # Streaming-duplex halo geometry. The 961-tap 65/96 rx resampler reads
 # ±⌈960/130⌉ = 8 device samples around each symbol — rounded to one
 # 96-sample polyphase period per side; the 651-tap 96/65 tx resampler
