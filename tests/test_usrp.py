@@ -156,3 +156,145 @@ def test_daemon_runs_unchanged_over_usrp_radio():
     assert np.array_equal(hard, bits & 1)
     for s in (ctrl, data):
         s.close()
+
+
+def test_socket_bus_crosses_process(tmp_path):
+    """The `Bus` seam across a REAL process boundary: a bus server
+    subprocess hosts the SimBus; `SocketBus` speaks to it over an
+    AF_UNIX socket — alignment ping, loopback and register programming
+    all flow through the transport (the boundary where libusb would
+    sit)."""
+    import subprocess
+    import sys
+    import time
+
+    from openbts_ttsou_tpu.trx.usrp import SocketBus
+
+    sock = str(tmp_path / "usrp.sock")
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "openbts_ttsou_tpu.trx.bus_server",
+         "--socket", sock, "--carriers", "1", "--hw-delay", "137"])
+    try:
+        for _ in range(100):
+            if (tmp_path / "usrp.sock").exists():
+                break
+            time.sleep(0.05)
+        bus = SocketBus(sock)
+        radio = USRPRadio(bus)
+        assert radio.start()
+        assert radio.set_tx_freq(935.2e6) and radio.set_rx_freq(890.2e6)
+        off = radio.update_alignment(ts=4000)
+        assert radio.is_aligned and off == 137
+        probe = np.zeros(64, np.complex64)
+        probe[0] = 20000.0
+        radio.write_samples(probe, 20000)
+        got = radio.read_samples(64, 20000)
+        assert int(np.argmax(np.abs(got))) == 0 and abs(got[0]) > 10000
+        bus.close()
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)
+
+
+def test_block_daemon_over_socket_bus(tmp_path):
+    """Block-scale USRP drive across the process boundary: the
+    block-pipelined daemon runs over `USRPBankRadio` → `SocketBus` →
+    bus-server subprocess (the round-3 gaps: no bank adapter for
+    USRPRadio, and a Bus never exercised across a transport). The
+    server's SimBus streams a planted-burst stimulus; detections flow
+    back through the full wire protocol while the daemon's DAC blocks
+    arrive at the server as USRP packets."""
+    import subprocess
+    import sys
+    import time
+
+    from openbts_ttsou_tpu.ops import fir, gmsk
+    from openbts_ttsou_tpu.runtime import UdpTransport
+    from openbts_ttsou_tpu.trx.daemon import (
+        BlockTrxDaemon,
+        TrxDaemonConfig,
+    )
+    from openbts_ttsou_tpu.trx.usrp import SocketBus, USRPBankRadio
+
+    import jax.numpy as jnp
+
+    n = 2
+    # stimulus: device-rate int16 with TSC-0 bursts in slots 1-3 of
+    # every frame, one 13-frame period (exactly block_in samples so
+    # the tiling stays frame-aligned)
+    rng = np.random.default_rng(4)
+    sym = np.zeros((1, 13 * 1250), np.complex64)
+    offs = np.concatenate([[0], np.cumsum([157, 156, 156, 156] * 2)])[:8]
+    bits = {}
+    for tn in range(1, 4):
+        b = np.concatenate(
+            [[0, 0, 0], rng.integers(0, 2, 57), [1],
+             C.TRAINING_SEQUENCE[0], [1], rng.integers(0, 2, 57),
+             [0, 0, 0]]).astype(np.uint8)
+        bits[tn] = b
+        w = 5000.0 * np.asarray(gmsk.modulate_burst(b[None], 1))[0]
+        for f in range(13):
+            o = f * 1250 + offs[tn]
+            sym[0, o: o + len(w)] += w
+    lpf = fir.resampler_lpf(96, 65, 651)
+    dev = np.asarray(fir.polyphase_resample(
+        jnp.asarray(sym), 96, 65, lpf))[0, : 13 * 1250 * 96 // 65]
+    stim = np.clip(np.stack([dev.real, dev.imag], -1).round(),
+                   -32767, 32767).astype(np.int16)
+    np.save(tmp_path / "stim.npy", stim)
+
+    sock = str(tmp_path / "usrp.sock")
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "openbts_ttsou_tpu.trx.bus_server",
+         "--socket", sock, "--carriers", str(n), "--hw-delay", "0",
+         "--stimulus", str(tmp_path / "stim.npy")])
+    try:
+        for _ in range(100):
+            if (tmp_path / "usrp.sock").exists():
+                break
+            time.sleep(0.05)
+        radios = [USRPRadio(SocketBus(sock, carrier=c))
+                  for c in range(n)]
+        bank = USRPBankRadio(radios)
+        base = 48900
+        daemon = BlockTrxDaemon(
+            bank, TrxDaemonConfig(base_port=base, n_arfcn=n))
+        peer = base + 100
+        ctrl = [UdpTransport(peer + 3 * i + 1, "127.0.0.1",
+                             base + 3 * i + 1) for i in range(n)]
+        data = [UdpTransport(peer + 3 * i + 2, "127.0.0.1",
+                             base + 3 * i + 2) for i in range(n)]
+        for i in range(n):
+            for verb, a in (("RXTUNE", (890000,)),
+                            ("TXTUNE", (935000,)), ("SETTSC", (0,))):
+                ctrl[i].send(proto.pack_command(verb, *a))
+            for tn in range(1, 4):
+                ctrl[i].send(proto.pack_command("SETSLOT", tn, 1))
+        daemon.step()
+        for i in range(n):
+            ctrl[i].send(proto.pack_command("POWERON"))
+        daemon.step()
+        for _ in range(4):
+            daemon.step()
+        daemon.flush()
+
+        got = {i: [] for i in range(n)}
+        for i in range(n):
+            while True:
+                d = data[i].recv(256, timeout_ms=50)
+                if not d:
+                    break
+                got[i].append(proto.unpack_uplink(d))
+        for i in range(n):
+            assert len(got[i]) >= 3 * 13, \
+                f"carrier {i}: {len(got[i])} detections over socket bus"
+            assert {b.tn for b in got[i]} == {1, 2, 3}
+            for b in got[i][:6]:
+                hard = (b.soft > 0.5).astype(np.uint8)
+                assert np.array_equal(hard, bits[b.tn] & 1)
+        # the daemon's DAC blocks crossed the bus as USRP packets
+        # (several hundred 504-byte payload packets per block window)
+        assert radios[0].ring.last_pkt_ts > 0
+    finally:
+        srv.terminate()
+        srv.wait(timeout=10)

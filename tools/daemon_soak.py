@@ -34,9 +34,11 @@ def log(msg):
     print(f"[soak] {msg}", file=sys.stderr, flush=True)
 
 
-def build_uplink_bank(n_chan: int, frames: int):
-    """Device-rate int16 bank with TSC-0 bursts in slots 1-7 of every
-    frame (slot 0 runs combination IV = RACH, left quiet here)."""
+def build_uplink_bank(n_chan: int, frames: int, ul_slots: int = 7):
+    """Device-rate int16 bank with TSC-0 bursts in slots 1..ul_slots of
+    every frame (slot 0 runs combination IV = RACH, left quiet here);
+    ul_slots < 7 models a partially loaded ARFCN, the realistic
+    regime where device-side datagram compaction pays."""
     import jax
     import numpy as np
 
@@ -50,7 +52,7 @@ def build_uplink_bank(n_chan: int, frames: int):
     rng = np.random.default_rng(0)
     sym = np.zeros((1, frames * 1250), np.complex64)
     offs = np.concatenate([[0], np.cumsum([157, 156, 156, 156] * 2)])[:8]
-    for tn in range(1, 8):
+    for tn in range(1, 1 + ul_slots):
         b = np.concatenate(
             [[0, 0, 0], rng.integers(0, 2, 57), [1], C.TRAINING_SEQUENCE[0],
              [1], rng.integers(0, 2, 57), [0, 0, 0]]).astype(np.uint8)
@@ -83,6 +85,19 @@ def main():
                     "bigger blocks amortize per-transfer latency at "
                     "the cost of block latency (the reference's chunk-"
                     "size knob, radioInterface.h:40-41)")
+    ap.add_argument("--exact", type=int, default=1,
+                    help="1 = reference per-frame rx semantics (the "
+                    "daemon default), 0 = once-per-block refresh")
+    ap.add_argument("--compact", type=int, default=1,
+                    help="1 = device-side D2H compaction (packed "
+                    "datagrams + live-carrier DAC rows), 0 = dense")
+    ap.add_argument("--ul-slots", type=int, default=7,
+                    help="slots per frame carrying uplink bursts (7 = "
+                    "fully loaded; lower = sparse detection)")
+    ap.add_argument("--dl-carriers", type=int, default=-1,
+                    help="carriers receiving live downlink bursts "
+                    "(-1 = all; fewer leaves the rest on the filler "
+                    "table, engaging tx-row suppression)")
     args = ap.parse_args()
 
     import jax
@@ -104,10 +119,12 @@ def main():
     log(f"devices={jax.devices()} carriers={n} blocks={args.blocks}")
     log("building uplink bank")
     bf = args.block_frames
-    bank = ReplayBankRadio(build_uplink_bank(n, 4 * bf))
+    bank = ReplayBankRadio(build_uplink_bank(n, 4 * bf, args.ul_slots))
     daemon = BlockTrxDaemon(
         bank, TrxDaemonConfig(base_port=args.base_port, n_arfcn=n),
-        block_frames=args.block_frames, pipeline_depth=args.depth)
+        block_frames=args.block_frames, pipeline_depth=args.depth,
+        exact=bool(args.exact), compact=bool(args.compact))
+    n_dl = n if args.dl_carriers < 0 else min(args.dl_carriers, n)
 
     peer = args.base_port + 100
     clock = UdpTransport(peer, "127.0.0.1", args.base_port)
@@ -154,7 +171,7 @@ def main():
         if feed_fn is not None:
             pkts = proto.pack_downlink_block(dl_bits, dl_valid, feed_fn,
                                              hyperframe=HYPERFRAME)
-            for i in range(n):
+            for i in range(n_dl):
                 data[i].send_batch(pkts)
                 dl_pkts += pkts.shape[0]
             feed_fn = (feed_fn + bf) % HYPERFRAME
@@ -181,7 +198,7 @@ def main():
 
     frames = args.blocks * bf
     ms_per_frame = t_timed / frames * 1e3
-    expected_det_per_block = bf * n * 7
+    expected_det_per_block = bf * n * args.ul_slots
     result = {
         "metric": "daemon_soak_ms_per_frame",
         "value": round(ms_per_frame, 3),
@@ -198,6 +215,14 @@ def main():
             "stale_dumped": daemon.stale_dumped - stale0,
             "underruns": daemon.underruns - underrun0,
             "clock_lead": daemon.clock_lead,
+            "exact": bool(args.exact),
+            "compact": bool(args.compact),
+            "ul_slots": args.ul_slots,
+            "dl_carriers": n_dl,
+            "d2h_bytes_per_block": round(
+                daemon.d2h_bytes / max(total_blocks, 1)),
+            "d2h_bytes_per_block_dense": round(
+                daemon.d2h_bytes_dense / max(total_blocks, 1)),
             "device": str(jax.devices()[0]),
         },
     }
