@@ -304,8 +304,14 @@ class TrxDaemon:
     def step(self) -> None:
         """One service iteration: control, data ingest, one frame."""
         for c in range(self.cfg.n_arfcn):
-            msg = self.ctrl_socks[c].recv(256, timeout_ms=0)
-            if msg:
+            # drain the WHOLE control queue each step (the reference's
+            # ControlServiceLoop blocks on the socket and services
+            # commands as fast as they arrive, Transceiver.cpp:754-760;
+            # one-per-step made a bring-up burst take several frames)
+            while True:
+                msg = self.ctrl_socks[c].recv(256, timeout_ms=0)
+                if not msg:
+                    break
                 resp = self.handle_control(msg, c)
                 if resp:
                     self.ctrl_socks[c].send(resp)

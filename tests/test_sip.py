@@ -183,3 +183,65 @@ def test_rtp_jitter_buffer_reorder_and_loss():
     assert rx.loss_skips >= 1  # the gaps were skipped, not stalled on
     tx.close()
     rx.close()
+
+
+def test_rtcp_reports_and_adaptive_depth():
+    """RTCP SR/RR side-channel on port+1 (RFC 3550; libortp's session
+    reports): the sender's SR carries packet/octet counts, the
+    receiver's report block carries loss + extended-highest-seq, and
+    the jitter depth adapts — deepening on loss skips, shrinking after
+    a quiet spell."""
+    import time
+
+    tx = RTPSession()
+    rx = RTPSession()
+    tx.connect("127.0.0.1", rx.local_port)
+    rx.connect("127.0.0.1", tx.local_port)
+
+    # stream 30 frames with one dropped so the RR reports loss
+    for i in range(30):
+        if i == 10:
+            tx.seq = (tx.seq + 1) & 0xFFFF  # simulate one lost packet
+        tx.tx_frame(bytes([0xD0, i]) + bytes(31))
+        if i % 5 == 4:
+            time.sleep(0.005)
+            while rx.rx_frame() is not None:
+                pass
+    while rx.rx_frame() is not None:
+        pass
+    assert rx.packets_received == 30
+
+    # force the report interval and exchange RTCP both ways
+    tx._last_sr_time = -1e9
+    tx.rtcp_tick()
+    time.sleep(0.05)
+    rx._last_sr_time = -1e9
+    rx.rtcp_tick()  # drains tx's SR, sends its own SR+RR
+    time.sleep(0.05)
+    tx.rtcp_tick()  # drains rx's report
+
+    assert rx.rtcp_stats.get("peer_packets_sent") == 30
+    assert rx.rtcp_stats.get("peer_octets_sent") == 30 * 33
+    # tx heard rx's report block about its own stream: 1 lost packet
+    assert tx.rtcp_stats.get("reported_cum_lost") == 1
+    assert tx.rtcp_stats.get("reported_highest_seq", 0) > 0
+
+    # adaptive depth: a loss skip deepens the buffer...
+    d0 = rx.min_jitter_depth
+    assert rx.loss_skips >= 1 and rx.jitter_depth > d0 - 1
+    grown = rx.jitter_depth
+    if grown > rx.min_jitter_depth:
+        # ...and ADAPT_QUIET clean in-order frames shrink it back
+        from openbts_ttsou_tpu.sip.rtp import ADAPT_QUIET
+
+        for i in range(ADAPT_QUIET + 5):
+            tx.tx_frame(bytes([0xE0, i & 0xFF]) + bytes(31))
+            if i % 20 == 19:
+                time.sleep(0.002)
+                while rx.rx_frame() is not None:
+                    pass
+        while rx.rx_frame() is not None:
+            pass
+        assert rx.jitter_depth < grown
+    tx.close()
+    rx.close()

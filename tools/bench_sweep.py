@@ -25,9 +25,13 @@ def run_one(mode: str, carriers: int, iters: int,
     env = dict(os.environ, BENCH_MODE=mode, BENCH_CHANNELS=str(carriers),
                BENCH_ITERS=str(iters), BENCH_MAX_TOA=str(max_toa),
                BENCH_DUPLEX_EXACT="1" if duplex_exact else "0")
-    p = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, text=True,
-                       timeout=1500)
+    try:
+        p = subprocess.run([sys.executable,
+                            os.path.join(REPO, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           timeout=1500)
+    except subprocess.TimeoutExpired:
+        return {"error": "bench.py wedged past 1500 s (relay hang)"}
     line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
     try:
         return json.loads(line)

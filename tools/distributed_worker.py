@@ -57,14 +57,20 @@ def main() -> int:
 
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     duplex = os.environ.get("WORKER_DUPLEX", "") == "1"
+    # compute-dominated geometry knob (round-3 verdict #7): more
+    # carriers per shard makes per-step compute >> the Gloo RTT, so the
+    # measured efficiency itself carries the >=80% scaling claim
+    n_carriers = int(os.environ.get("WORKER_CARRIERS", "1"))
+    verify = os.environ.get("WORKER_VERIFY", "1") == "1"
     pid = jax.process_index()
     nproc = jax.process_count()
     devs = jax.devices()  # global, across processes
     n_time = len(devs)
     mesh = Mesh(np.asarray(devs).reshape(1, n_time), ("chan", "time"))
 
-    cfg = TrxConfig(n_chan=1)
-    spec = ShardedPipelineSpec(n_chan_total=1, frames_per_shard=13)
+    cfg = TrxConfig(n_chan=n_carriers)
+    spec = ShardedPipelineSpec(n_chan_total=n_carriers,
+                               frames_per_shard=13)
     frames_step = n_time * spec.frames_per_shard
     frames_total = steps * frames_step
 
@@ -79,25 +85,29 @@ def main() -> int:
     for f in range(1, frames_total, 3):
         sym[0, f * 1250 + 157: f * 1250 + 157 + len(wave)] += wave
         planted.append(f)
+    sym = np.broadcast_to(sym, (n_carriers, sym.shape[1])).copy()
     up_lpf = fir.resampler_lpf(96, 65, 651)
     down_lpf = fir.resampler_lpf(65, 96, 961)
     dev_rate = np.asarray(fir.polyphase_resample(
         jnp.asarray(sym), 96, 65, up_lpf))
 
-    chan_type = np.zeros((1, 8), np.int32)
-    chan_type[0, 1] = ChanType.I
+    chan_type = np.zeros((n_carriers, 8), np.int32)
+    chan_type[:, 1] = ChanType.I
     state0 = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
 
-    # serial single-device reference (local, no collectives)
-    sym_back = fir.polyphase_resample(jnp.asarray(dev_rate), 65, 96,
-                                      down_lpf)
-    wins = _slot_windows(sym_back, frames_total)
-    st = state0
-    det_serial = []
-    for f in range(frames_total):
-        st, r = rx_step(cfg, st, wins[f])
-        det_serial.append(np.asarray(r.detected))
-    det_serial = np.stack(det_serial)  # [frames_total, 1, 8]
+    # serial single-device reference (local, no collectives); skipped
+    # in pure-throughput runs (WORKER_VERIFY=0)
+    det_serial = None
+    if verify:
+        sym_back = fir.polyphase_resample(jnp.asarray(dev_rate), 65, 96,
+                                          down_lpf)
+        wins = _slot_windows(sym_back, frames_total)
+        st = state0
+        det_serial = []
+        for f in range(frames_total):
+            st, r = rx_step(cfg, st, wins[f])
+            det_serial.append(np.asarray(r.detected))
+        det_serial = np.stack(det_serial)  # [frames_total, C, 8]
 
     # global arrays: every process provides its addressable shards of
     # the SAME logical value (jax.make_array_from_callback slices the
@@ -122,17 +132,20 @@ def main() -> int:
 
         rng2 = np.random.default_rng(11)
         dl_bits_all = rng2.integers(
-            0, 2, (frames_total, 1, 8, 148)).astype(np.uint8)
-        dl_valid_all = rng2.random((frames_total, 1, 8)) < 0.6
-        dl_atten_all = np.zeros((frames_total, 1, 8), np.float32)
+            0, 2, (frames_total, n_carriers, 8, 148)).astype(np.uint8)
+        dl_valid_all = rng2.random((frames_total, n_carriers, 8)) < 0.6
+        dl_atten_all = np.zeros((frames_total, n_carriers, 8),
+                                np.float32)
         tx_serial = []
-        for s in range(steps):
-            sl = slice(s * frames_step, (s + 1) * frames_step)
-            tx_serial.append(np.asarray(downlink_block(
-                cfg, UplinkSpec(frames=frames_step), state0,
-                jnp.asarray(dl_bits_all[sl]), jnp.asarray(dl_valid_all[sl]),
-                jnp.asarray(dl_atten_all[sl]),
-                jnp.asarray(s * frames_step, jnp.int32))))
+        if verify:
+            for s in range(steps):
+                sl = slice(s * frames_step, (s + 1) * frames_step)
+                tx_serial.append(np.asarray(downlink_block(
+                    cfg, UplinkSpec(frames=frames_step), state0,
+                    jnp.asarray(dl_bits_all[sl]),
+                    jnp.asarray(dl_valid_all[sl]),
+                    jnp.asarray(dl_atten_all[sl]),
+                    jnp.asarray(s * frames_step, jnp.int32))))
         step_fn = sharded_duplex_pipeline(mesh, cfg, spec,
                                           carry_state=True)
     else:
@@ -158,14 +171,15 @@ def main() -> int:
                 gput(dl_atten_all[sl], P("time", "chan")), fn0)
             jax.block_until_ready((res.detected, tx))
             # verify addressable TX shards against the serial modulator
-            scale = np.abs(tx_serial[s]).max() or 1.0
-            for shard in tx.addressable_shards:
-                got = np.asarray(shard.data)
-                want = tx_serial[s][shard.index]
-                bad = ~np.isclose(got, want, atol=2e-4 * scale)
-                if bad.any():
-                    ok = False
-                    mismatches += int(bad.sum())
+            if verify:
+                scale = np.abs(tx_serial[s]).max() or 1.0
+                for shard in tx.addressable_shards:
+                    got = np.asarray(shard.data)
+                    want = tx_serial[s][shard.index]
+                    bad = ~np.isclose(got, want, atol=2e-4 * scale)
+                    if bad.any():
+                        ok = False
+                        mismatches += int(bad.sum())
         else:
             state_sh, res, clock = step_fn(state_sh, x, fn0)
             jax.block_until_ready(res.detected)
@@ -178,18 +192,19 @@ def main() -> int:
         # verify the shards THIS process owns against the serial run
         for shard in res.detected.addressable_shards:
             got = np.asarray(shard.data)
-            f_lo = s * frames_step + shard.index[0].start
-            want = det_serial[f_lo: f_lo + got.shape[0]]
-            if not np.array_equal(got, want):
-                ok = False
-                mismatches += int((got != want).sum())
+            if verify:
+                f_lo = s * frames_step + shard.index[0].start
+                want = det_serial[f_lo: f_lo + got.shape[0]]
+                if not np.array_equal(got, want):
+                    ok = False
+                    mismatches += int((got != want).sum())
             hits += int(got[:, 0, 1].sum())
     expect_clock = block
     ok = ok and all(c == expect_clock for c in clock_vals)
 
     print(json.dumps({
         "process": pid, "n_processes": nproc, "n_devices": n_time,
-        "duplex": duplex,
+        "duplex": duplex, "carriers": n_carriers, "verified": verify,
         "ok": ok, "mismatches": mismatches, "local_hits": hits,
         "clock": clock_vals[0],
         "steps": steps,
