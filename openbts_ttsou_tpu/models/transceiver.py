@@ -362,25 +362,76 @@ def _tch_group_tables(frames: int):
     return idx, end, valid
 
 
+#: frames of previous-window soft bits carried by the streaming
+#: decoder: a TCH 8-burst diagonal can reach 8 frames back (8 bursts
+#: spanning one idle frame); XCCH groups need at most 3
+DECODE_PRELUDE = 8
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def uplink_block_decoded_stream(cfg: eng.TrxConfig, spec: UplinkSpec,
+                                state: eng.TrxState, samples: Array,
+                                bsic: int, prev_soft: Array,
+                                prev_valid: Array
+                                ) -> tuple[eng.TrxState, eng.RxResult,
+                                           DecodedBlocks, Array, Array]:
+    """Streaming fused receiver: like `uplink_block_decoded`, but FEC
+    groups whose bursts SPAN the window boundary decode too, by
+    prepending the previous window's last DECODE_PRELUDE frames of
+    soft bits (the reference's per-burst decoders never lose groups to
+    windowing — mI[] persists across bursts, GSML1FEC.cpp:572-630,
+    1031-1100; this carry restores that on the windowed path). Each
+    group is decoded exactly once: only groups COMPLETING inside the
+    new window are reported.
+
+    prev_soft [DECODE_PRELUDE, C, 8, 148] (zeros on the first window),
+    prev_valid [] bool (False on the first window — prelude-spanning
+    groups are then masked out). Returns (state', res, blocks,
+    prev_soft', prev_valid')."""
+    fn0 = state.fn
+    new_state, res = uplink_block(cfg, spec, state, samples)
+    blocks = decode_block(res, fn0, spec.frames, bsic,
+                          prev_soft=prev_soft, prev_valid=prev_valid)
+    return (new_state, res, blocks,
+            res.soft_bits[-DECODE_PRELUDE:],
+            jnp.asarray(True))
+
+
 def decode_block(res: eng.RxResult, fn0: Array, frames: int,
-                 bsic: int = 0) -> DecodedBlocks:
+                 bsic: int = 0, prev_soft: Array | None = None,
+                 prev_valid: Array | None = None) -> DecodedBlocks:
     """FEC-decode one block's RxResult on device: the FN%4-aligned
     4-burst XCCH groups inside the window, per-frame RACH decode, and
     the TCH/FS + FACCH 8-burst diagonal half-blocks. Shared by the
-    single-chip and sharded pipelines."""
+    single-chip and sharded pipelines. With `prev_soft` (the streaming
+    carry, see `uplink_block_decoded_stream`), groups spanning the
+    left window edge decode as well; groups are reported exactly once
+    (those completing in the current window)."""
     from openbts_ttsou_tpu.gsm import fec, l1fec
 
-    n_g = frames // 4
     c = res.soft_bits.shape[1]
-    off = (-fn0) % 4  # frames until the next FN%4 block boundary
+    p = DECODE_PRELUDE if prev_soft is not None else 0
+    if p:
+        soft_all = jnp.concatenate([prev_soft, res.soft_bits], axis=0)
+        pv = prev_valid
+    else:
+        soft_all = res.soft_bits
+        pv = jnp.asarray(True)
+    fn0_ext = (fn0 - p) % HYPERFRAME
+    n_g = (p + frames) // 4
+    off = (-fn0_ext) % 4  # frames until the next FN%4 block boundary
     # pad the frame axis so the slice never clamps (off ≤ 3); groups
     # extending past the window are masked invalid below
-    soft_p = jnp.pad(res.soft_bits, ((0, 3), (0, 0), (0, 0), (0, 0)))
+    soft_p = jnp.pad(soft_all, ((0, 3), (0, 0), (0, 0), (0, 0)))
     soft = lax.dynamic_slice_in_dim(soft_p, off, n_g * 4, axis=0)
     # [G·4, C, 8, 148] → [G, 4, C, 8, 148] → [G·C·8, 4, 148]
     g = jnp.moveaxis(soft.reshape(n_g, 4, c, 8, 148), 1, 3)
     bits, ok = l1fec.xcch_decode(g.reshape(n_g * c * 8, 4, 148))
-    complete = (off + (jnp.arange(n_g) + 1) * 4) <= frames  # [G]
+    ends = off + (jnp.arange(n_g) + 1) * 4
+    # report each group exactly once: it must END inside the current
+    # window; prelude-reaching groups need a valid carry
+    complete = (ends <= p + frames) & (ends > p) & \
+        ((ends - 4 >= p) | pv)
 
     # RACH: every detected access burst decodes in the same program
     # (RACHL1Decoder::writeLowSide, GSML1FEC.cpp:474-513)
@@ -393,13 +444,15 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
     # the deinterleaver's circular-row offsets (0/4) fold away: with
     # the group's 8 bursts ordered oldest→newest, coded bit k always
     # reads burst k % 8 — i.e. tch_interleave_map(0).
-    ti, te, tv = _tch_group_tables(frames)
+    ti, te, tv = _tch_group_tables(p + frames)
     gt = ti.shape[1]
-    p26 = fn0 % 26
+    p26 = fn0_ext % 26
     gf = lax.dynamic_index_in_dim(jnp.asarray(ti), p26, 0, keepdims=False)
     ge = lax.dynamic_index_in_dim(jnp.asarray(te), p26, 0, keepdims=False)
     gv = lax.dynamic_index_in_dim(jnp.asarray(tv), p26, 0, keepdims=False)
-    grp = jnp.take(res.soft_bits, gf.reshape(-1), axis=0)
+    # once-only + carry-validity masking, as for the XCCH groups
+    gv = gv & (ge >= p) & ((gf[:, 0] >= p) | pv)
+    grp = jnp.take(soft_all, gf.reshape(-1), axis=0)
     grp = jnp.moveaxis(grp.reshape((gt, 8, c, 8, 148)), 1, 3)
     payload, (hl, _hu) = fec.unmap_from_burst(grp)  # [Gt, C, 8, 8, 114]
     coded = fec.deinterleave(payload.reshape(gt * c * 8, 8, 114),
@@ -415,7 +468,7 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
     return DecodedBlocks(
         bits=bits.reshape(n_g, c, 8, 184),
         ok=ok.reshape(n_g, c, 8) & complete[:, None, None],
-        first_fn=(fn0 + off) % HYPERFRAME,
+        first_fn=(fn0_ext + off) % HYPERFRAME,
         rach_ra=ra.astype(jnp.int32),
         rach_ok=ra_ok & res.is_rach,
         tch_speech=speech.reshape(gt, c, 8, 260),
@@ -423,7 +476,7 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
         facch_bits=fbits.reshape(gt, c, 8, 184),
         facch_ok=f_ok.reshape(gt, c, 8) & stolen & gvc,
         tch_stolen=stolen & gvc,
-        tch_end_fn=jnp.where(gv, (fn0 + ge) % HYPERFRAME, -1),
+        tch_end_fn=jnp.where(gv, (fn0_ext + ge) % HYPERFRAME, -1),
         tch_valid=gv,
     )
 

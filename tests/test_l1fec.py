@@ -323,3 +323,90 @@ def test_downlink_block_tch_speech_loopback():
         f"FACCH not recovered ({len(got_facch)} ok)"
     assert any(np.array_equal(xb, sent_xcch) for xb in got_xcch), \
         "XCCH leg broken"
+
+
+def test_streaming_decode_recovers_boundary_spanning_groups():
+    """uplink_block_decoded_stream: FEC groups whose 8-burst diagonal
+    (or 4-burst XCCH block) spans the window boundary decode via the
+    DECODE_PRELUDE carry — the reference's persistent per-burst mI[]
+    semantics (GSML1FEC.cpp:572-630, 1031-1100) restored on the
+    windowed path. Every dispatched speech/FACCH frame is recovered
+    exactly once across 3 windows."""
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        UplinkSpec,
+        downlink_block_tch,
+        uplink_block_decoded_stream,
+    )
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(21)
+    cfg = eng.TrxConfig(n_chan=1)
+    spec = UplinkSpec()
+    state = eng.init_state(cfg)
+    rev = tdma.FACCH_TCHF.reverse_map()
+    fn0 = int(np.where(rev == 0)[0][0])
+    while fn0 % 4:
+        fn0 += 26
+    tch_mask = np.zeros((1, 8), bool)
+    tch_mask[0, 2] = True
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 2] = eng.ChanType.I
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+
+    n_win = 3  # content windows; one silent flush window follows so
+    # the final dispatch's diagonal second half gets on the air
+    sent = []  # (kind, payload) per dispatch, in order
+    carry = l1fec.TchTxCarry.zeros(8)
+    xcch = jnp.zeros((3, 1, 8, 184), jnp.uint8)
+    xv = jnp.zeros((3, 1, 8), bool)
+    atten = jnp.zeros((13, 1, 8), jnp.float32)
+    devs = []
+    for w in range(n_win + 1):
+        sp = np.zeros((3, 1, 8, 260), np.uint8)
+        spv = np.zeros((3, 1, 8), bool)
+        fa = np.zeros((3, 1, 8, 184), np.uint8)
+        fav = np.zeros((3, 1, 8), bool)
+        for j in range(3 if w < n_win else 0):
+            if (w + j) % 2:
+                d = rng.integers(0, 2, 184).astype(np.uint8)
+                fa[j, 0, 2], fav[j, 0, 2] = d, True
+                sent.append(("f", d))
+            else:
+                d = rng.integers(0, 2, 260).astype(np.uint8)
+                sp[j, 0, 2], spv[j, 0, 2] = d, True
+                sent.append(("s", d))
+        dev, carry = downlink_block_tch(
+            cfg, spec, state, xcch, xv, jnp.asarray(sp),
+            jnp.asarray(spv), jnp.asarray(fa), jnp.asarray(fav),
+            jnp.asarray(tch_mask), atten, carry,
+            jnp.asarray(fn0 + 13 * w, jnp.int32))
+        devs.append(np.asarray(dev))
+
+    st = state._replace(fn=jnp.asarray(fn0, jnp.int32))
+    prev = jnp.zeros((DECODE_PRELUDE, 1, 8, 148), jnp.float32)
+    pvalid = jnp.asarray(False)
+    got = []
+    for w, dev in enumerate(devs):
+        st = st._replace(fn=jnp.asarray(fn0 + 13 * w, jnp.int32))
+        st, res, blocks, prev, pvalid = uplink_block_decoded_stream(
+            cfg, spec, st, jnp.asarray(dev / cfg.tx_full_scale * 9000.0),
+            0, prev, pvalid)
+        tg = np.asarray(blocks.tch_good)
+        fo = np.asarray(blocks.facch_ok)
+        ef = np.asarray(blocks.tch_end_fn)
+        for gi in range(tg.shape[0]):
+            if tg[gi, 0, 2]:
+                got.append(("s", np.asarray(blocks.tch_speech)[gi, 0, 2],
+                            int(ef[gi])))
+            if fo[gi, 0, 2]:
+                got.append(("f", np.asarray(blocks.facch_bits)[gi, 0, 2],
+                            int(ef[gi])))
+    # every sent frame decoded exactly once (no duplicates across the
+    # carry: end_fns must be unique)
+    end_fns = [g[2] for g in got]
+    assert len(end_fns) == len(set(end_fns)), "group decoded twice"
+    assert len(got) == len(sent), (len(got), len(sent))
+    for kind, payload in sent:
+        assert any(k == kind and np.array_equal(v, payload)
+                   for k, v, _ in got), f"{kind} frame lost"
