@@ -517,6 +517,13 @@ class LogicalChannel:
         if self.sacch is not None:
             self.sacch.open(fn)
 
+    def close(self) -> None:
+        """Deactivate L1 (+SACCH) — LogicalChannel::close-equivalent;
+        Control's _finish_call closes the TCH through this."""
+        self.l1.close()
+        if self.sacch is not None:
+            self.sacch.close()
+
     def reset(self) -> None:
         """Hard-release all LAPDm entities (the HARDRELEASE primitive,
         GSMTransfer.h:72) so the channel can be reallocated cleanly."""

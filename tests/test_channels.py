@@ -207,3 +207,19 @@ def test_channel_recycling_timers(monkeypatch):
     l1.good_frames = 1
     assert not l1.recyclable(_time.monotonic() + 5.0)
     assert l1.recyclable(_time.monotonic() + 40.0)
+
+
+def test_logical_channel_close_deactivates_l1():
+    """LogicalChannel.close() (the reference's LogicalChannel close
+    path Control's _finish_call relies on) must exist on REAL channel
+    objects — a TCH released through cc_release used to crash with
+    AttributeError."""
+    from openbts_ttsou_tpu.gsm import channels, tdma
+
+    l1 = channels.TCHFACCHL1(2, tdma.FACCH_TCHF, tdma.FACCH_TCHF,
+                             tsc=0)
+    ch = channels.TCHFACCHLogicalChannel(l1)
+    ch.open(100)
+    assert ch.l1.active
+    ch.close()
+    assert not ch.l1.active

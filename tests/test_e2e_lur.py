@@ -911,6 +911,18 @@ def test_over_the_air_veryearly_call(rig):
     sip_out.clear()
     ms = MS(radio, daemon, app.bts.bcc)
     rng = np.random.default_rng(11)
+    # earlier rig tests end with a LAPDm DISC instead of the full CC
+    # release, leaving their reserved TCHs busy (the rig disables the
+    # T3101/T3109 recycling sweep that would reclaim them); reclaim
+    # here so this test starts with a free pool
+    for t in list(app.control.transactions.entries()):
+        app.control.transactions.remove(t.id)
+    for tch in app.bts.tch_pool:
+        tch.close()
+        if hasattr(tch, "reset"):
+            tch.reset()
+        app.bts.release(tch)
+        app.control.channel_transactions.pop(id(tch), None)
     app.bts.config.set("GSM.AssignmentType", "veryearly")
     try:
         # the daemon must expect traffic bursts on every TCH slot
