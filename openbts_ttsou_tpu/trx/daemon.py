@@ -504,9 +504,19 @@ class BlockTrxDaemon(TrxDaemon):
 
         live_idx = np.flatnonzero(live)
         assert len(live_idx) == n_live
+        # issue BOTH row fetches before reading either: on a
+        # high-latency attachment (the dev relay's ~27 ms RTT) the two
+        # slice copies then fly concurrently — the compact path costs
+        # ~2 round trips total (header + rows) instead of 3
+        rows_dev = tx_buf[: self._bucket(n_live, 8)] if n_live else None
+        prows_dev = pkt_buf[: self._bucket(n_det, 256)] if n_det \
+            else None
+        for d in (rows_dev, prows_dev):
+            if d is not None and hasattr(d, "copy_to_host_async"):
+                d.copy_to_host_async()
         tx = np.empty((n, self.spec.block_in, 2), np.int16)
         if n_live:
-            rows = np.asarray(tx_buf[: self._bucket(n_live, 8)])
+            rows = np.asarray(rows_dev)
             self.d2h_bytes += rows.nbytes
             tx[live_idx] = rows[:n_live].view("<i2").reshape(
                 n_live, self.spec.block_in, 2)
@@ -527,7 +537,7 @@ class BlockTrxDaemon(TrxDaemon):
         self._write_tx(tx, tx_block)
 
         if n_det:
-            prows = np.asarray(pkt_buf[: self._bucket(n_det, 256)])
+            prows = np.asarray(prows_dev)
             self.d2h_bytes += prows.nbytes
             prows = prows[:n_det]
             chans = (prows[:, UL_PKT].astype(np.int32) << 8) | \

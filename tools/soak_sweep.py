@@ -21,13 +21,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(carriers: int, blocks: int, exact: int, compact: int,
-            ul_slots: int, dl_carriers: int, depth: int = 2) -> dict:
+            ul_slots: int, dl_carriers: int, depth: int = 2,
+            block_frames: int = 26) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "tools", "daemon_soak.py"),
            "--carriers", str(carriers), "--blocks", str(blocks),
            "--exact", str(exact), "--compact", str(compact),
            "--ul-slots", str(ul_slots), "--dl-carriers",
-           str(dl_carriers), "--depth", str(depth)]
-    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
+           str(dl_carriers), "--depth", str(depth),
+           "--block-frames", str(block_frames)]
+    try:
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=3000)
+    except subprocess.TimeoutExpired:
+        return {"error": "daemon_soak wedged past 3000 s (relay hang)"}
     line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
     try:
         return json.loads(line)
@@ -63,7 +69,7 @@ def main():
 
     results = []
     for carriers, exact, compact, ul_slots, dl_c in grid:
-        blocks = 50 if carriers <= 32 else 30
+        blocks = 25 if carriers <= 32 else 15  # 26-frame blocks
         tag = (f"c={carriers} exact={exact} compact={compact} "
                f"ul_slots={ul_slots} dl={dl_c}")
         print(f"[soak-sweep] {tag}...", file=sys.stderr, flush=True)
