@@ -129,6 +129,7 @@ class ControlLayer:
             rr.ChannelModeModifyAcknowledge: self.mode_modify_ack,
             rr.RRStatus: self.rr_status,
             cc.Setup: self.moc_setup,
+            cc.CallConfirmed: self.mtc_call_confirmed,
             cc.Alerting: self.cc_forward,
             cc.Connect: self.mtc_connect,
             cc.ConnectAcknowledge: self.cc_forward,
@@ -366,6 +367,21 @@ class ControlLayer:
 
             t.voice = VoicePump(t.tch, t.sip)
 
+    def mtc_call_confirmed(self, channel, msg: cc.CallConfirmed):
+        """The MS confirmed the MT Setup (GSM 04.08 9.3.2): enter
+        MTCConfirmed, and — in very-early assignment — run the mode-set
+        exchange now, the reference's ordering (MTCStarter waits for
+        Call Confirmed before L3ChannelModeModify,
+        CallControl.cpp:859-896)."""
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        t.set_state(Q931CallState.MTCConfirmed)
+        if getattr(channel, "is_tch", False) and \
+                getattr(t, "pending_mode", None) is None and \
+                t.service == ServiceType.MobileTerminatedCall:
+            self.send_mode_modify(channel, t)
+
     def cc_forward(self, channel, msg):
         """Alerting needs no action; ConnectAcknowledge on a
         very-early-assigned TCH is where the in-call vocoder pump
@@ -494,11 +510,6 @@ class ControlLayer:
             setup.ti = 0 << 3 | t.ti_value  # network-originated TI
             channel.send(L3Frame(setup.encode(), Primitive.DATA))
             t.set_state(Q931CallState.CallPresent)
-            if getattr(channel, "is_tch", False):
-                # very-early assignment: mode change on this TCH before
-                # call control proceeds (MTCStarter veryEarly,
-                # CallControl.cpp:886-896)
-                self.send_mode_modify(channel, t)
             if t.sip is not None:
                 t.sip.mtc_send_trying()
                 t.sip.mtc_send_ringing()

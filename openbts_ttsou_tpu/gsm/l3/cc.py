@@ -131,6 +131,22 @@ class Setup(CCMessage):
 
 
 @register
+class CallConfirmed(CCMessage):
+    """GSM 04.08 9.3.2 Call Confirmed (uplink): the MS acknowledges an
+    MT Setup (L3CallConfirmed, GSML3CCMessages.h:464; MTCStarter waits
+    on it before the mode-set, CallControl.cpp:859-896). Optional
+    bearer-capability IEs are skipped."""
+
+    MTI = 0x08
+
+    def write_body(self, w: BitWriter) -> None:
+        pass
+
+    def parse_body(self, r: BitReader) -> None:
+        r.skip(r.remaining())
+
+
+@register
 class CallProceeding(CCMessage):
     MTI = 0x02
 

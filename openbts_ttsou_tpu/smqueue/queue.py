@@ -479,11 +479,19 @@ class SMq:
     def queue_size(self) -> int:
         return len(self._heap)
 
-    def _bounce(self, msg: ShortMsg, now: float) -> None:
-        """Give up: the reference bounces an error message to the
-        sender and deletes (bounce_message, smqueue.cpp)."""
+    def _bounce(self, msg: ShortMsg, now: float,
+                errstr: str = "can't send") -> None:
+        """Give up: bounce an error SMS from "411" back to the sender
+        and delete (bounce_message, smqueue.cpp:1103-1148) — except
+        when the sender IS 411, which would loop endlessly."""
         msg.set_state(ShortMsgState.DeleteMeState, now)
         self.failed.append(msg)
+        if msg.frm and msg.frm != "411":
+            text = (f"Can't send your SMS to {msg.to}: {errstr}: "
+                    f"{msg.body}")
+            bounce = ShortMsg(now, next(self._seq), "411", msg.frm,
+                              text, INITIAL_STATE)
+            heapq.heappush(self._heap, bounce)
 
     def process_queue(self, now: Optional[float] = None) -> int:
         """Run all due state transitions; returns actions taken."""
@@ -521,7 +529,10 @@ class SMq:
                         continue
                     msg.retries += 1
                     if msg.retries > self.MAX_RETRIES:
-                        self._bounce(msg, now)
+                        # BounceMessage.IMSILookupFailed (smqueue.cpp:1466)
+                        self._bounce(msg, now,
+                                     "Destination handset is not "
+                                     "registered")
                         continue
                     msg.set_state(
                         ShortMsgState.AwaitingTryDestinationImsi, now)
@@ -556,7 +567,7 @@ class SMq:
                 # delivery-ack timeout → retry (timeout table row)
                 msg.retries += 1
                 if msg.retries > self.MAX_RETRIES:
-                    self._bounce(msg, now)
+                    self._bounce(msg, now, "delivery failed")
                     continue
                 msg.set_state(ShortMsgState.RequestMsgDelivery, now)
                 requeue.append(msg)

@@ -21,3 +21,16 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables at module boundaries: a single-process
+    run of the whole suite otherwise accumulates hundreds of XLA-CPU
+    executables, under which long runs have hit flaky compiler
+    segfaults; per-module clearing keeps the compile arena small at
+    the cost of cross-module cache reuse."""
+    yield
+    jax.clear_caches()

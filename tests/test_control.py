@@ -484,3 +484,30 @@ def test_rr_status_is_logged_not_fatal(layer):
     n = layer.transactions.size()
     layer.dispatch_l3(ch, rr.RRStatus(cause=0x62).encode())
     assert layer.transactions.size() == n  # nothing torn down
+
+
+def test_veryearly_mtc_mode_modify_after_call_confirmed(layer):
+    """MTC very-early ordering (MTCStarter, CallControl.cpp:850-896):
+    Setup goes out first; the mode-set exchange runs only after the MS
+    answers with Call Confirmed (GSM 04.08 9.3.2)."""
+    layer.bts.config.set("GSM.AssignmentType", "veryearly")
+    tch = FakeTCHChannel()
+    layer.bts.add_tch(tch)
+    t = layer.initiate_mtc(IMSI, calling="5551000")
+    layer.bts.get_tch()  # page answer grants the TCH (simulated)
+    layer._bind(tch, t)
+    layer.paging_response(
+        tch, rr.PagingResponse(common.MobileIdentity.imsi(IMSI)))
+    kinds = [type(parse_l3(l3.bits)).__name__ for l3, _ in tch.sent]
+    assert "Setup" in kinds
+    assert "ChannelModeModify" not in kinds, \
+        "mode modify must wait for Call Confirmed"
+    tch.sent.clear()
+    layer.dispatch_l3(tch, cc.CallConfirmed().encode())
+    cmm, _ = tch.pop_l3()
+    assert isinstance(cmm, rr.ChannelModeModify)
+    assert t.state == Q931CallState.MTCConfirmed
+    layer.dispatch_l3(tch, rr.ChannelModeModifyAcknowledge(
+        cmm.channel, cmm.mode).encode())
+    assert t.pending_mode is None
+    layer.bts.config.set("GSM.AssignmentType", "early")

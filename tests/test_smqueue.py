@@ -342,3 +342,33 @@ def test_queue_reload_skips_bad_records(tmp_path, smq):
     assert q2.read_queue_from_file(str(path)) == 1
     assert q2._heap[0].body == "ok"
     assert q2.read_queue_from_file(str(tmp_path / "missing.txt")) == 0
+
+
+def test_bounce_sends_error_sms_from_411(smq):
+    """bounce_message (smqueue.cpp:1103-1148): a message that exhausts
+    delivery is bounced as an error SMS from "411" to the original
+    sender — except when the sender IS 411 (endless-loop guard)."""
+    import time as systime
+
+    now = systime.monotonic()
+    smq.submit("1001", "9999", "hello nowhere")  # unresolvable dest
+    for _ in range(40):
+        now += 1e5
+        smq.process_queue(now=now)
+    assert smq.failed, "undeliverable message never gave up"
+    bounce = next((m for m in smq._heap if m.frm == "411"
+                   and m.to == "1001"), None) or \
+        next((m for m in smq.delivered + smq.failed
+              if m.frm == "411" and m.to == "1001"), None)
+    assert bounce is not None, "no bounce SMS queued to the sender"
+    assert "Can't send your SMS to 9999" in bounce.body
+    assert "hello nowhere" in bounce.body
+
+    # loop guard: a failing message FROM 411 does not bounce again
+    n_before = sum(1 for m in smq._heap if m.frm == "411")
+    smq.submit("411", "9999", "system text")
+    for _ in range(40):
+        now += 1e5
+        smq.process_queue(now=now)
+    n_after = sum(1 for m in smq._heap if m.frm == "411")
+    assert n_after <= n_before, "411-originated failure bounced (loop)"
