@@ -292,6 +292,7 @@ class BTSApp:
         if self.sip:
             self.sip.drive(timeout_ms=0)
         self.control.page_tick()
+        self.control.release_tick()
         # normal release: the MS closed its LAPDm (DISC) — reclaim the
         # channel once the link drops (the reference's T3111 close-out
         # in DCCHDispatch after RELEASE)
@@ -316,6 +317,7 @@ class BTSApp:
                     ch.reset()
                 self.bts.release(ch)
                 self.control.channel_transactions.pop(id(ch), None)
+                self.control.pending_release.pop(id(ch), None)
         # channel recycling (decoder timeouts, GSML1FEC.cpp:365-372)
         now = systime.monotonic()
         t3101 = self.bts.config.get_int("GSM.Timer.T3101", 8000) / 1000.0
@@ -329,6 +331,7 @@ class BTSApp:
                     ch.reset()
                 self.bts.release(ch)
                 self.control.channel_transactions.pop(id(ch), None)
+                self.control.pending_release.pop(id(ch), None)
         # transceiver hangup detector (OpenBTS.cpp:125-155): restart
         # the child when the clock stops advancing past the timeout
         if self.trx_child is not None:

@@ -59,6 +59,9 @@ class ControlLayer:
         self.local_port = local_port
         # per dedicated channel: the current owning transaction
         self.channel_transactions: Dict[int, int] = {}
+        # channels released by a procedure but still draining queued
+        # downlink LAPDm frames (see _release_channel)
+        self.pending_release: Dict[int, object] = {}
 
     def _new_engine(self, username: str) -> SIPEngine:
         return SIPEngine(username, self.local_host, self.local_port,
@@ -129,7 +132,10 @@ class ControlLayer:
             rr.ChannelModeModifyAcknowledge: self.mode_modify_ack,
             rr.RRStatus: self.rr_status,
             cc.Setup: self.moc_setup,
+            cc.EmergencySetup: self.emergency_setup,
             cc.CallConfirmed: self.mtc_call_confirmed,
+            cc.Hold: self.cc_hold,
+            cc.CCStatus: self.cc_status,
             cc.Alerting: self.cc_forward,
             cc.Connect: self.mtc_connect,
             cc.ConnectAcknowledge: self.cc_forward,
@@ -162,9 +168,29 @@ class ControlLayer:
         channel.send(L3Frame(rr.ChannelRelease(cause).encode(),
                              Primitive.DATA))
         self.channel_transactions.pop(id(channel), None)
+        if hasattr(channel, "tx_drained") and not channel.tx_drained():
+            # LAPDm's k=1 window means queued downlink (e.g.
+            # MMInformation + LUAccept + this ChannelRelease) is still
+            # in flight — an immediate hard reset would wipe it. The
+            # reference never hits this because its sends block per
+            # frame; here the hard release is deferred to release_tick
+            # until the link drains (or the recycler reclaims it).
+            self.pending_release[id(channel)] = channel
+            return
+        self._hard_release(channel)
+
+    def _hard_release(self, channel) -> None:
         if hasattr(channel, "reset"):
             channel.reset()  # hard release the data links for reuse
         self.bts.release(channel)
+
+    def release_tick(self) -> None:
+        """Finish deferred releases whose LAPDm queues have drained
+        (called from the BTS service loop)."""
+        for key, ch in list(self.pending_release.items()):
+            if ch.tx_drained() or not ch.l1.active:
+                del self.pending_release[key]
+                self._hard_release(ch)
 
     # ------------------------------------------------------------------
     # Mobility management
@@ -205,6 +231,14 @@ class ControlLayer:
                 mm.LocationUpdatingReject(cause=0x04).encode(),
                 Primitive.DATA))
         else:
+            # deliver the network short name before the accept
+            # (L3MMInformation, MobilityManagement.cpp:203; the name
+            # gate is the element's lengthV>1 rule)
+            shortname = self.bts.config.get_str("GSM.ShortName", "")
+            if len(shortname) > 1:
+                channel.send(L3Frame(
+                    mm.MMInformation(shortname).encode(),
+                    Primitive.DATA))
             tmsi = self.tmsis.assign(t.imsi)
             channel.send(L3Frame(mm.LocationUpdatingAccept(
                 self.bts.lai(),
@@ -266,6 +300,35 @@ class ControlLayer:
             self.send_mode_modify(channel, t)
         else:
             self.assign_tch(channel, t)
+
+    def emergency_setup(self, channel, t_msg: cc.EmergencySetup):
+        """Emergency Setup MTI → the E-MOC leg (EmergencyCall
+        controller, CallControl.cpp:1020-1060): destination comes from
+        PBX.Emergency whatever the MS knows; otherwise the normal MO
+        setup flow."""
+        t = self._transaction_for(channel)
+        if t is None:
+            return
+        t.service = ServiceType.EmergencyCall
+        setup = cc.Setup()
+        setup.ti = t_msg.ti
+        self.moc_setup(channel, setup)
+
+    def cc_hold(self, channel, msg: cc.Hold):
+        """Hold is not supported: answer every in-call Hold with
+        HoldReject cause 0x3f so the handset doesn't hang
+        (CallControl.cpp:356-360)."""
+        t = self._transaction_for(channel)
+        log.warning("rejecting hold request on channel %s", id(channel))
+        rej = cc.HoldReject(cc.Cause(0x3F))
+        rej.ti = ((t.ti_flag if t else 1) << 3) | (t.ti_value if t else 0)
+        channel.send(L3Frame(rej.encode(), Primitive.DATA))
+
+    def cc_status(self, channel, msg: cc.CCStatus):
+        """CC Status: MS-reported CC protocol error — log it; the call
+        FSM carries on (the reference's unsupported-message path)."""
+        log.warning("CC status from MS: cause=0x%02x state=%d",
+                    msg.cause.value, msg.call_state)
 
     def send_mode_modify(self, channel, t: TransactionEntry,
                          mode: int = rr.ChannelMode.SpeechV1) -> None:
@@ -331,7 +394,7 @@ class ControlLayer:
         """abortCall (CallControl.cpp:420-439): L3 Disconnect with the
         cause, drop the SIP leg, release resources."""
         disc = cc.Disconnect(cc.Cause(cause))
-        disc.ti = (1 << 3) | t.ti_value
+        disc.ti = (t.ti_flag << 3) | t.ti_value
         channel.send(L3Frame(disc.encode(), Primitive.DATA))
         if t.sip is not None:
             t.sip.mod_send_bye()
@@ -410,7 +473,7 @@ class ControlLayer:
         if t.sip is not None:
             t.sip.mtc_send_ok()
         ack = cc.ConnectAcknowledge()
-        ack.ti = (1 << 3) | t.ti_value
+        ack.ti = (t.ti_flag << 3) | t.ti_value
         channel.send(L3Frame(ack.encode(), Primitive.DATA))
         t.set_state(Q931CallState.Active)
         if getattr(t, "voice", None) is None and \
@@ -427,20 +490,23 @@ class ControlLayer:
         if t is not None and t.sip is not None:
             t.sip.send_dtmf_info(msg.key)
         # GSM 04.08 9.3.25 Start DTMF Acknowledge (MTI 0x32)
+        # downlink TI flag: flipped relative to the ORIGINATOR of the
+        # transaction (GSM 04.07 11.2.3.1.3) — 1 for MS-originated,
+        # 0 for network-originated; t.ti_flag records exactly that
         ack = cc.StartDTMFAck(msg.key)
-        ack.ti = (1 << 3) | (t.ti_value if t else 0)
+        ack.ti = ((t.ti_flag if t else 1) << 3) | (t.ti_value if t else 0)
         channel.send(L3Frame(ack.encode(), Primitive.DATA))
 
     def stop_dtmf(self, channel, msg: cc.StopDTMF):
         t = self._transaction_for(channel)
         ack = cc.StopDTMFAck()
-        ack.ti = (1 << 3) | (t.ti_value if t else 0)
+        ack.ti = ((t.ti_flag if t else 1) << 3) | (t.ti_value if t else 0)
         channel.send(L3Frame(ack.encode(), Primitive.DATA))
 
     def cc_disconnect(self, channel, msg: cc.Disconnect):
         t = self._transaction_for(channel)
         rel = cc.Release()
-        rel.ti = (1 << 3) | (t.ti_value if t else 0)
+        rel.ti = ((t.ti_flag if t else 1) << 3) | (t.ti_value if t else 0)
         channel.send(L3Frame(rel.encode(), Primitive.DATA))
         if t and t.sip is not None:
             t.sip.mod_send_bye()
@@ -449,7 +515,7 @@ class ControlLayer:
     def cc_release(self, channel, msg: cc.Release):
         t = self._transaction_for(channel)
         rc = cc.ReleaseComplete()
-        rc.ti = (1 << 3) | (t.ti_value if t else 0)
+        rc.ti = ((t.ti_flag if t else 1) << 3) | (t.ti_value if t else 0)
         channel.send(L3Frame(rc.encode(), Primitive.DATA))
         self._finish_call(channel, t)
 
@@ -608,17 +674,25 @@ class ControlLayer:
                 self.complete_location_update(channel, t, True)
             elif state == SIPState.Fail:
                 self.complete_location_update(channel, t, False)
-        elif t.service == ServiceType.MobileOriginatedCall:
-            if state == SIPState.Ringing and \
+        elif t.service in (ServiceType.MobileOriginatedCall,
+                           ServiceType.EmergencyCall):
+            if state == SIPState.Proceeding and \
+                    t.state == Q931CallState.MOCProceeding:
+                # early media / call-progress leg (MOC sends
+                # L3Progress on SIP Proceeding, CallControl.cpp:739)
+                prog = cc.Progress()
+                prog.ti = (t.ti_flag << 3) | t.ti_value
+                channel.send(L3Frame(prog.encode(), Primitive.DATA))
+            elif state == SIPState.Ringing and \
                     t.state != Q931CallState.CallReceived:
                 alert = cc.Alerting()
-                alert.ti = (1 << 3) | t.ti_value
+                alert.ti = (t.ti_flag << 3) | t.ti_value
                 channel.send(L3Frame(alert.encode(), Primitive.DATA))
                 t.set_state(Q931CallState.CallReceived)
             elif state == SIPState.Connecting:
                 t.sip.moc_send_ack()
                 conn = cc.Connect()
-                conn.ti = (1 << 3) | t.ti_value
+                conn.ti = (t.ti_flag << 3) | t.ti_value
                 channel.send(L3Frame(conn.encode(), Primitive.DATA))
                 t.set_state(Q931CallState.ConnectIndication)
         elif t.service == ServiceType.MobileOriginatedSMS:

@@ -524,6 +524,13 @@ class LogicalChannel:
         if self.sacch is not None:
             self.sacch.close()
 
+    def tx_drained(self) -> bool:
+        """True when every LAPDm entity has delivered its queued
+        downlink (Control's deferred hard release waits on this — the
+        reference's sequential sends guarantee delivery before the
+        channel drops, LogicalChannel::send blocking semantics)."""
+        return all(l2.tx_drained() for l2 in self.l2.values())
+
     def reset(self) -> None:
         """Hard-release all LAPDm entities (the HARDRELEASE primitive,
         GSMTransfer.h:72) so the channel can be reallocated cleanly."""

@@ -288,8 +288,9 @@ def tch_tx_window(speech: Array, speech_valid: Array, facch: Array,
     GSML1FEC.cpp:1325-1340; silence filler when neither is valid);
     carry from `TchTxCarry.zeros(N)` or a previous window; fn0 []
     int32 window-start FN (same frame origin as the uplink decoder's
-    tables). G must be ≥ the window's dispatch count (3 for
-    frames=13); extra entries are ignored.
+    tables). G must be ≥ the MAX dispatch count over phases (3 for
+    frames=13; checked); extra entries are coded but never dispatched
+    and do not enter the carry.
 
     Returns (bits [frames, N, 148] uint8 with zeroed midamble — the
     caller stamps the TSC like downlink_block_encoded —, is_burst
@@ -298,12 +299,17 @@ def tch_tx_window(speech: Array, speech_valid: Array, facch: Array,
     i_prev, i_cur, f_prev, f_cur = carry
     n = i_prev.shape[0]
     g = speech.shape[0]
-    blk_t, pos_t, _nd = _tch_tx_tables(frames)
+    blk_t, pos_t, nd_t = _tch_tx_tables(frames)
+    if g < int(nd_t.max()):
+        raise ValueError(f"G={g} < max dispatch count {int(nd_t.max())}"
+                         f" for frames={frames}")
     p26 = fn0 % 26
     blk = jax.lax.dynamic_index_in_dim(jnp.asarray(blk_t), p26, 0,
                                        keepdims=False)  # [frames]
     pos = jax.lax.dynamic_index_in_dim(jnp.asarray(pos_t), p26, 0,
                                        keepdims=False)
+    ndp = jax.lax.dynamic_index_in_dim(jnp.asarray(nd_t), p26, 0,
+                                       keepdims=False)  # [] dispatches
 
     # code every dispatch's content in one batch: FACCH > speech > fill
     c_facch = _facch_coded(facch)  # [G, N, 456]
@@ -335,11 +341,15 @@ def tch_tx_window(speech: Array, speech_valid: Array, facch: Array,
     is_burst = blk >= 0  # [frames]
     is_burst = jnp.broadcast_to(is_burst[:, None], (frames, n))
 
-    # carry out: the last two blocks of the window's list. The window
-    # always ends inside (or at the boundary of) block dtot−1, with
-    # block dtot−2 its predecessor.
-    new_carry = (blocks[dtot - 2], blocks[dtot - 1],
-                 flags[dtot - 2], flags[dtot - 1])
+    # carry out: the last two DISPATCHED blocks of the window's list —
+    # list indices nd and 1+nd (new block k sits at index 2+k, so the
+    # last dispatch is 2+(nd−1)). Indexed from the phase's dispatch
+    # count, NOT from G: with G > nd the tail entries of `blocks` were
+    # coded but never dispatched and must not enter the carry.
+    new_carry = (jnp.take(blocks, ndp, axis=0),
+                 jnp.take(blocks, 1 + ndp, axis=0),
+                 jnp.take(flags, ndp, axis=0),
+                 jnp.take(flags, 1 + ndp, axis=0))
     return bits, is_burst, hu, new_carry
 
 

@@ -83,6 +83,36 @@ class Cause:
         return c
 
 
+@dataclasses.dataclass
+class ProgressIndicator:
+    """GSM 04.08 10.5.4.21 (L3ProgressIndicator,
+    GSML3CCElements.h:245; writeV at GSML3CCElements.cpp). Defaults
+    are the reference's: unspecified progress, private serving
+    network local."""
+
+    progress: int = 0  # Unspecified
+    location: int = 1  # PrivateServingLocal
+
+    def write_lv(self, w: BitWriter) -> None:
+        w.octet(2)
+        # octet 3: ext|coding-standard|spare = 0x0e nibble + location
+        w.field(0x0E, 4).field(self.location, 4)
+        # octet 4: ext + progress description
+        w.field(1, 1).field(self.progress, 7)
+
+    @classmethod
+    def parse_lv(cls, r: BitReader) -> "ProgressIndicator":
+        length = r.octet()
+        p = cls()
+        r.field(4)
+        p.location = r.field(4)
+        r.field(1)
+        p.progress = r.field(7)
+        for _ in range(length - 2):
+            r.octet()
+        return p
+
+
 class CCMessage(L3Message):
     """CC base with transaction identifier in the skip nibble."""
 
@@ -131,6 +161,22 @@ class Setup(CCMessage):
 
 
 @register
+class EmergencySetup(CCMessage):
+    """GSM 04.08 9.3.8 Emergency Setup (uplink): no mandatory IEs —
+    the network supplies the destination (L3EmergencySetup,
+    GSML3CCMessages.h:298; EmergencyCall controller pulls only the TI
+    and dials PBX.Emergency, CallControl.cpp:1020-1045)."""
+
+    MTI = 0x0E
+
+    def write_body(self, w: BitWriter) -> None:
+        pass
+
+    def parse_body(self, r: BitReader) -> None:
+        r.skip(r.remaining())  # optional bearer caps ignored
+
+
+@register
 class CallConfirmed(CCMessage):
     """GSM 04.08 9.3.2 Call Confirmed (uplink): the MS acknowledges an
     MT Setup (L3CallConfirmed, GSML3CCMessages.h:464; MTCStarter waits
@@ -166,6 +212,83 @@ class Alerting(CCMessage):
 
     def parse_body(self, r: BitReader) -> None:
         pass
+
+
+@register
+class Progress(CCMessage):
+    """GSM 04.08 9.3.17 Progress (downlink): mandatory progress
+    indicator LV (L3Progress, GSML3CCMessages.h:597; the MOC
+    controller sends it on SIP Proceeding, CallControl.cpp:739)."""
+
+    MTI = 0x03
+
+    def __init__(self, progress: ProgressIndicator | None = None):
+        super().__init__()
+        self.progress = progress or ProgressIndicator()
+
+    def write_body(self, w: BitWriter) -> None:
+        self.progress.write_lv(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.progress = ProgressIndicator.parse_lv(r)
+
+
+@register
+class Hold(CCMessage):
+    """GSM 04.08 9.3.10 Hold (uplink): empty body (L3Hold,
+    GSML3CCMessages.h:621)."""
+
+    MTI = 0x18
+
+    def write_body(self, w: BitWriter) -> None:
+        pass
+
+    def parse_body(self, r: BitReader) -> None:
+        pass
+
+
+@register
+class HoldReject(CCMessage):
+    """GSM 04.08 9.3.12 Hold Reject (downlink): cause LV, default
+    0x3f "service or option not available" (L3HoldReject,
+    GSML3CCMessages.h:639; the reference rejects all in-call holds,
+    CallControl.cpp:356-360)."""
+
+    MTI = 0x19
+
+    def __init__(self, cause: Cause | None = None):
+        super().__init__()
+        self.cause = cause or Cause(0x3F)
+
+    def write_body(self, w: BitWriter) -> None:
+        self.cause.write_lv(w)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cause = Cause.parse_lv(r)
+
+
+@register
+class CCStatus(CCMessage):
+    """GSM 04.08 9.3.27 Status: cause LV + call state V (L3CCStatus,
+    GSML3CCMessages.h:164, bodyLength 4). The MS reports CC protocol
+    errors with it; the network logs and carries on."""
+
+    MTI = 0x3D
+
+    def __init__(self, cause: Cause | None = None, call_state: int = 0):
+        super().__init__()
+        self.cause = cause or Cause()
+        self.call_state = call_state  # GSM 04.08 10.5.4.6 (low 6 bits)
+
+    def write_body(self, w: BitWriter) -> None:
+        self.cause.write_lv(w)
+        w.field(0, 2).field(self.call_state, 6)
+
+    def parse_body(self, r: BitReader) -> None:
+        self.cause = Cause.parse_lv(r)
+        if r.remaining() >= 8:
+            r.field(2)
+            self.call_state = r.field(6)
 
 
 @register

@@ -142,7 +142,7 @@ def parse_l3(bits: np.ndarray) -> Optional[L3Message]:
     """Parse any registered message (the parseL3 factory,
     GSML3Message.cpp). Returns None for unknown PD/MTI."""
     r = BitReader(bits)
-    r.field(4)
+    skip = r.field(4)
     pd = r.field(4)
     mti = r.field(8)
     cls = _REGISTRY.get((pd, mti))
@@ -154,5 +154,9 @@ def parse_l3(bits: np.ndarray) -> Optional[L3Message]:
             return None
     msg = cls.__new__(cls)
     msg.__init__()
+    if hasattr(msg, "ti"):
+        # CC's skip nibble carries the transaction identifier
+        # (GSM 04.07 11.2.3.1.3) — preserve it through parse
+        msg.ti = skip
     msg.parse_body(BitReader(bits[16:]))
     return msg

@@ -234,6 +234,59 @@ class TMSIReallocationCommand(L3Message):
 
 
 @register
+class MMInformation(L3Message):
+    """GSM 04.08 9.2.15a MM Information: network short name delivered
+    after LU accept (L3MMInformation, GSML3MMMessages.h:341, writeBody
+    at GSML3MMMessages.cpp:268: short-name TLV 0x45 only when the name
+    is non-trivial; sent by LocationUpdatingController,
+    MobilityManagement.cpp:203). The name IE is GSM 04.08 10.5.3.5a
+    Network Name: header octet (ext|coding|CI|spare-bit count) + GSM
+    03.38 7-bit packed characters (L3NetworkName::writeV,
+    GSML3MMElements.cpp)."""
+
+    PD = L3PD.MobilityManagement
+    MTI = 0x32
+
+    def __init__(self, short_name: str = "", ci: int = 0):
+        self.short_name = short_name
+        self.ci = ci  # Country Initials bit
+
+    def write_body(self, w: BitWriter) -> None:
+        from openbts_ttsou_tpu.sms.messages import pack_7bit
+
+        if len(self.short_name) <= 1:
+            return  # lengthV>1 gate, GSML3MMMessages.cpp:270
+        packed = pack_7bit(self.short_name)
+        n = len(self.short_name)
+        spare = (8 - (n * 7) % 8) % 8
+        w.octet(0x45)
+        w.octet(1 + len(packed))
+        # ext=1 | coding=000 (GSM 03.38 default) | CI | spare bits
+        w.field(1, 1).field(0, 3).field(self.ci, 1).field(spare, 3)
+        for b in packed:
+            w.octet(b)
+
+    def parse_body(self, r: BitReader) -> None:
+        from openbts_ttsou_tpu.sms.messages import unpack_7bit
+
+        self.short_name, self.ci = "", 0
+        while r.remaining() >= 16:
+            iei = r.octet()
+            length = r.octet()
+            if iei != 0x45 or length < 1:
+                r.skip(8 * min(length, r.remaining() // 8))
+                continue
+            r.field(1)
+            coding = r.field(3)
+            self.ci = r.field(1)
+            spare = r.field(3)
+            raw = bytes(int(r.octet()) for _ in range(length - 1))
+            if coding == 0:
+                nsept = ((length - 1) * 8 - spare) // 7
+                self.short_name = unpack_7bit(raw, nsept)
+
+
+@register
 class MMStatus(L3Message):
     PD = L3PD.MobilityManagement
     MTI = 0x31

@@ -92,6 +92,13 @@ class L2LAPDm:
         self._l1_out.clear()
         return out
 
+    def tx_drained(self) -> bool:
+        """True when all queued downlink has been delivered and
+        acknowledged: no pending segments, no unacked I-frame (k=1
+        window closed, GSM 04.06 5.5.2), nothing awaiting L1."""
+        return (not self._pending_segments and self.vs == self.va
+                and not self._l1_out)
+
     def read_high_side(self) -> Optional[L3Frame]:
         return self.l3_out.popleft() if self.l3_out else None
 

@@ -162,6 +162,10 @@ class RTPSession:
         (SIPEngine::RxFrame; ordering/loss handling is libortp's jitter
         compensation role)."""
         self._drain_socket()
+        # a receive-only session (one-way hold, pre-first-tx) must
+        # still emit RRs and drain inbound RTCP — tick from the rx
+        # path too, not just tx_frame
+        self.rtcp_tick()
         if not self._jitter:
             return None
         if self._next_seq is None:  # first packet(s) seed the cursor

@@ -357,15 +357,17 @@ class SMq:
         re-arms each message's pending timer rather than firing
         everything at once."""
         now = systime.monotonic() if now is None else now
-        with open(path, "w") as f:
+        # binary mode: the header's length field counts BYTES, so the
+        # reader must count bytes too (non-ASCII bodies round-trip)
+        with open(path, "wb") as f:
             for x in sorted(self._heap):
                 delay = max(0.0, x.next_action_time - now)
                 body = x.body.encode()
-                f.write(f"=== {int(x.state)} {delay:.3f} {x.retries} "
-                        f"{x.frm or '-'} {x.to or '-'} "
-                        f"{x.call_id or '-'} {x.dest_imsi or '-'} "
-                        f"{x.dest_url or '-'} {len(body)}\n")
-                f.write(x.body + "\n")
+                f.write((f"=== {int(x.state)} {delay:.3f} {x.retries} "
+                         f"{x.frm or '-'} {x.to or '-'} "
+                         f"{x.call_id or '-'} {x.dest_imsi or '-'} "
+                         f"{x.dest_url or '-'} {len(body)}\n").encode())
+                f.write(body + b"\n")
         log.info("saved %d queued messages to %s", len(self._heap), path)
         return len(self._heap)
 
@@ -379,7 +381,7 @@ class SMq:
         loaded."""
         now = systime.monotonic() if now is None else now
         try:
-            f = open(path)
+            f = open(path, "rb")
         except OSError:
             log.warning("failed to read queue from %s", path)
             return 0
@@ -390,7 +392,7 @@ class SMq:
                 if not hdr:
                     break
                 parts = hdr.split()
-                if len(parts) != 10 or parts[0] != "===":
+                if len(parts) != 10 or parts[0] != b"===":
                     errs += 1
                     continue
                 try:
@@ -401,13 +403,18 @@ class SMq:
                 except (ValueError, KeyError):
                     errs += 1
                     continue
-                body = f.read(nbytes)
+                raw = f.read(nbytes)  # exact byte count (binary mode)
                 f.readline()  # trailing newline
-                if len(body.encode()) < nbytes:
+                if len(raw) < nbytes:
                     errs += 1
                     break  # truncated file
+                try:
+                    body = raw.decode()
+                except UnicodeDecodeError:
+                    errs += 1
+                    continue
                 frm, to, call_id, imsi, url = (
-                    "" if p == "-" else p for p in parts[4:9])
+                    "" if p == b"-" else p.decode() for p in parts[4:9])
                 msg = ShortMsg(now + delay, next(self._seq), frm, to,
                                body, state, retries=retries,
                                call_id=call_id, dest_imsi=imsi,

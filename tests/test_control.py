@@ -383,6 +383,132 @@ def test_emergency_call_routes_to_dispatch(layer):
     assert msg.method == "INVITE" and "911" in msg.uri
 
 
+def test_emergency_setup_mti_routes_to_dispatch(layer):
+    """An MS using the EmergencySetup MTI (GSM 04.08 9.3.8) — not a
+    plain Setup — must still reach the emergency dispatch number
+    (E-MOC, CallControl.cpp:1020-1060)."""
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.config.set("PBX.Emergency", "112")
+    req = mm.CMServiceRequest(service_type=8,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    ch.sent.clear()
+    es = cc.EmergencySetup()
+    es.ti = 0x05  # MS TI value 5
+    layer.dispatch_l3(ch, es.encode())
+    t = layer.transactions.entries()[-1]
+    assert t.service == ServiceType.EmergencyCall
+    assert t.called == "112" and t.ti_value == 5
+    proc, _ = ch.pop_l3()
+    assert isinstance(proc, cc.CallProceeding)
+    assert proc.ti == (1 << 3) | 5  # downlink flag flipped
+    msg = SIPMessage.parse(layer._sip_out.pop(0))
+    assert msg.method == "INVITE" and "112" in msg.uri
+
+
+def test_hold_rejected_during_call(layer):
+    """An in-call Hold gets HoldReject cause 0x3f, not silence
+    (CallControl.cpp:356-360)."""
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    setup = cc.Setup(cc.CalledPartyBCDNumber("2125551212"))
+    setup.ti = 0x03  # MS TI value 3
+    layer.dispatch_l3(ch, setup.encode())
+    ch.sent.clear()
+    hold = cc.Hold()
+    hold.ti = 0x03
+    layer.dispatch_l3(ch, hold.encode())
+    rej, _ = ch.pop_l3()
+    assert isinstance(rej, cc.HoldReject)
+    assert rej.cause.value == 0x3F
+    assert rej.ti == (1 << 3) | 3  # MO transaction: downlink flag 1
+    # the call FSM is untouched
+    t = layer.transactions.entries()[-1]
+    assert t.state == Q931CallState.MOCProceeding
+
+
+def test_cc_status_logged_not_fatal(layer):
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    layer.dispatch_l3(
+        ch, cc.Setup(cc.CalledPartyBCDNumber("5551212")).encode())
+    n = layer.transactions.size()
+    layer.dispatch_l3(ch, cc.CCStatus(cc.Cause(value=98),
+                                      call_state=10).encode())
+    assert layer.transactions.size() == n  # nothing torn down
+
+
+def test_progress_sent_on_sip_proceeding(layer):
+    """SIP 100 Trying during MOC setup → L3 Progress downlink (the
+    early-media leg, CallControl.cpp:739)."""
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    req = mm.CMServiceRequest(service_type=1,
+                              identity=common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, req.encode())
+    setup = cc.Setup(cc.CalledPartyBCDNumber("2125551212"))
+    setup.ti = 0x01
+    layer.dispatch_l3(ch, setup.encode())
+    invite = SIPMessage.parse(layer._sip_out.pop())
+    ch.sent.clear()
+    t = layer.transactions.entries()[-1]
+    layer.on_sip_response(t, ch, make_response(invite, 100, "Trying"))
+    prog, _ = ch.pop_l3()
+    assert isinstance(prog, cc.Progress)
+    assert prog.ti == (1 << 3) | 1
+    assert t.state == Q931CallState.MOCProceeding
+    # ringing still follows normally
+    layer.on_sip_response(t, ch, make_response(invite, 180, "Ringing",
+                                               to_tag="x"))
+    alert, _ = ch.pop_l3()
+    assert isinstance(alert, cc.Alerting)
+
+
+def test_shortname_delivered_after_lur(layer):
+    """The `shortname` config is actually transmitted: MMInformation
+    precedes LocationUpdatingAccept (MobilityManagement.cpp:203)."""
+    (ch,) = _attach_sdcch(layer)
+    layer.bts.get_sdcch()
+    layer.bts.config.set("GSM.ShortName", "TestNet")
+    lur = mm.LocationUpdatingRequest(
+        layer.bts.lai(), common.MobileIdentity.imsi(IMSI))
+    layer.dispatch_l3(ch, lur.encode())
+    reg = SIPMessage.parse(layer._sip_out.pop())
+    t = layer.transactions.entries()[0]
+    layer.on_sip_response(t, ch, make_response(reg, 200, "OK"))
+    info, _ = ch.pop_l3()
+    assert isinstance(info, mm.MMInformation)
+    assert info.short_name == "TestNet"
+    acc, _ = ch.pop_l3()
+    assert isinstance(acc, mm.LocationUpdatingAccept)
+
+
+def test_mtc_downlink_ti_flag_is_zero(layer):
+    """Network-originated transactions carry downlink TI flag 0 (GSM
+    04.07 11.2.3.1.3) — including the clearing leg."""
+    (ch,) = _attach_sdcch(layer)
+    t = layer.initiate_mtc(IMSI, calling="5551000")
+    layer.page_tick()
+    layer.dispatch_l3(ch, rr.PagingResponse(
+        identity=common.MobileIdentity.imsi(IMSI)).encode())
+    setup, _ = ch.pop_l3()
+    assert isinstance(setup, cc.Setup)
+    assert setup.ti >> 3 == 0
+    # MS hangs up: the network's Release must also carry flag 0
+    disc = cc.Disconnect()
+    disc.ti = (1 << 3) | 0  # MS → network on a network-allocated TI
+    layer.dispatch_l3(ch, disc.encode())
+    rel, _ = ch.pop_l3()
+    assert isinstance(rel, cc.Release)
+    assert rel.ti >> 3 == 0
+
+
 class FakeTCHChannel(FakeChannel):
     """A fake dedicated TCH/F (FACCH signalling) for very-early flows."""
 

@@ -1112,3 +1112,208 @@ def test_over_the_air_veryearly_call(rig):
             f"uplink speech not bridged after mode set ({len(ups)})"
     finally:
         app.bts.config.set("GSM.AssignmentType", "early")
+
+def test_over_the_air_lur_delivers_shortname(rig):
+    """LUR with GSM.ShortName configured: the MS decodes an
+    MMInformation carrying the name BEFORE the LocationUpdatingAccept
+    (MobilityManagement.cpp:203) — the `shortname` CLI knob is a real,
+    transmitted feature."""
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    app.bts.config.set("GSM.ShortName", "TPUNet")
+    try:
+        ms = MS(radio, daemon, app.bts.bcc)
+        free_before = app.bts.sdcch_available()
+        fn_r = daemon.fn + 8
+        while fn_r % 51 not in range(14, 37):
+            fn_r += 1
+        ms.tx_rach(0x31, fn_r)
+        for _ in range(80):
+            pump(app, daemon)
+            if app.bts.sdcch_available() < free_before:
+                break
+        assert app.bts.sdcch_available() < free_before
+        ia = None
+        fn = fn_r
+        while fn < fn_r + 160 and ia is None:
+            pump(app, daemon)
+            while fn < daemon.fn - 5:
+                if fn % 51 == 6:
+                    frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                    if frame is not None:
+                        msg = parse_l3(frame.bits[8:])
+                        if isinstance(msg, rr.ImmediateAssignment) and \
+                                msg.reference.ra == 0x31:
+                            ia = msg
+                            break
+                fn += 1
+        assert ia is not None
+        sub = ia.channel.type_and_offset - 4
+        dl_map, ul_map = tdma.SDCCH_4[sub]
+        ch = app.bts.sdcch_pool[sub]
+
+        lur = mm.LocationUpdatingRequest(
+            app.bts.lai(), l3c.MobileIdentity.imsi(IMSI))
+        ms.l2._send_u(FrameType.SABM, True, ms.l2.c, lur.encode())
+        ms.l2.state = LAPDState.AwaitingEstablish
+        ul_fn = ms.tx_l2(ms.l2.take_l1_out()[0], ul_map, daemon.fn + 4)
+        for _ in range(140):
+            pump(app, daemon)
+            if sip_out:
+                break
+        assert sip_out, "no REGISTER emitted"
+        reg = SIPMessage.parse(sip_out.pop())
+        t = app.control.transactions.entries()[0]
+        app.control.on_sip_response(t, ch, make_response(reg, 200, "OK"))
+
+        got = []
+        fn_scan = daemon.fn - 10
+        guard = daemon.fn + 500  # 3 queued blocks at 1/multiframe
+        while daemon.fn < guard and not any(
+                isinstance(m, mm.LocationUpdatingAccept) for m in got):
+            pump(app, daemon)
+            while fn_scan < daemon.fn - 5:
+                if dl_map.reverse(fn_scan) == 0:
+                    frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                            fn_scan + 2, fn_scan + 3])
+                    if frame is not None:
+                        ms.l2.write_low_side(frame)
+                fn_scan += 1
+            for out in ms.l2.take_l1_out():
+                ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+            while (l3 := ms.l2.read_high_side()) is not None:
+                if len(l3.bits) >= 16:
+                    m = parse_l3(l3.bits)
+                    if m is not None:
+                        got.append(m)
+        kinds = [type(m).__name__ for m in got]
+        infos = [m for m in got if isinstance(m, mm.MMInformation)]
+        assert infos, f"no MMInformation off the air; got {kinds}"
+        assert infos[0].short_name == "TPUNet"
+        # ordering: the name precedes the accept (the reference's send
+        # order at MobilityManagement.cpp:203-207)
+        assert kinds.index("MMInformation") < \
+            kinds.index("LocationUpdatingAccept")
+    finally:
+        app.bts.config.set("GSM.ShortName", "")
+
+
+def test_over_the_air_emergency_call_progress_and_hold(rig):
+    """Emergency call via the EmergencySetup MTI with the in-call
+    legs: E-MOC routes to PBX.Emergency (CallControl.cpp:1020-1060),
+    SIP 100 Trying produces L3 Progress (:739), and an in-call Hold is
+    rejected with HoldReject cause 0x3f (:356-360) — every message
+    crossing the air interface."""
+    from openbts_ttsou_tpu.gsm.l3 import cc
+    from openbts_ttsou_tpu.gsm.transfer import L3Frame, Primitive
+
+    app, daemon, radio, sip_out = rig
+    sip_out.clear()
+    app.bts.config.set("PBX.Emergency", "112")
+    ms = MS(radio, daemon, app.bts.bcc)
+
+    free_before = app.bts.sdcch_available()
+    fn_r = daemon.fn + 8
+    while fn_r % 51 not in range(14, 37):
+        fn_r += 1
+    ms.tx_rach(0x2A, fn_r)
+    for _ in range(80):
+        pump(app, daemon)
+        if app.bts.sdcch_available() < free_before:
+            break
+    assert app.bts.sdcch_available() < free_before
+    ia = None
+    fn = fn_r
+    while fn < fn_r + 160 and ia is None:
+        pump(app, daemon)
+        while fn < daemon.fn - 5:
+            if fn % 51 == 6:
+                frame = ms.rx_l2_block([fn, fn + 1, fn + 2, fn + 3])
+                if frame is not None:
+                    msg = parse_l3(frame.bits[8:])
+                    if isinstance(msg, rr.ImmediateAssignment) and \
+                            msg.reference.ra == 0x2A:
+                        ia = msg
+                        break
+            fn += 1
+    assert ia is not None
+    sub = ia.channel.type_and_offset - 4
+    dl_map, ul_map = tdma.SDCCH_4[sub]
+
+    req = mm.CMServiceRequest(service_type=8,
+                              identity=l3c.MobileIdentity.imsi(IMSI))
+    ms.l2._send_u(FrameType.SABM, True, ms.l2.c, req.encode())
+    ms.l2.state = LAPDState.AwaitingEstablish
+    ul_fn = ms.tx_l2(ms.l2.take_l1_out()[0], ul_map, daemon.fn + 4)
+
+    got = []
+    fn_scan = daemon.fn - 10
+
+    def ms_drive(rounds, want=None):
+        nonlocal ul_fn, fn_scan
+        for _ in range(rounds):
+            pump(app, daemon)
+            while fn_scan < daemon.fn - 5:
+                if dl_map.reverse(fn_scan) == 0:
+                    frame = ms.rx_l2_block([fn_scan, fn_scan + 1,
+                                            fn_scan + 2, fn_scan + 3])
+                    if frame is not None:
+                        ms.l2.write_low_side(frame)
+                fn_scan += 1
+            for out in ms.l2.take_l1_out():
+                ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+            while (l3 := ms.l2.read_high_side()) is not None:
+                if len(l3.bits) >= 16:
+                    m = parse_l3(l3.bits)
+                    if m is not None:
+                        got.append(m)
+                        if want is not None and isinstance(m, want):
+                            return m
+        return None
+
+    acc = ms_drive(140, mm.CMServiceAccept)
+    assert acc is not None, f"no CMServiceAccept; got {got}"
+
+    # --- EmergencySetup MTI → CallProceeding + INVITE to 112 ----------
+    es = cc.EmergencySetup()
+    es.ti = 0x05
+    ms.l2.write_high_side(L3Frame(es.encode(), Primitive.DATA))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    proc = ms_drive(160, cc.CallProceeding)
+    assert proc is not None, f"no CallProceeding; got {got}"
+    assert proc.ti == (1 << 3) | 5
+    assert sip_out, "no INVITE emitted"
+    invite = SIPMessage.parse(sip_out.pop(0))
+    assert invite.method == "INVITE" and "112" in invite.uri
+
+    ch = app.bts.sdcch_pool[sub]
+    t = app.control.transactions.find_by_imsi(IMSI)
+
+    # --- 100 Trying → Progress off the air ----------------------------
+    app.control.on_sip_response(t, ch,
+                                make_response(invite, 100, "Trying"))
+    prog = ms_drive(160, cc.Progress)
+    assert prog is not None, f"no Progress; got {got}"
+    assert prog.ti == (1 << 3) | 5
+
+    # --- in-call Hold → HoldReject ------------------------------------
+    hold = cc.Hold()
+    hold.ti = 0x05
+    ms.l2.write_high_side(L3Frame(hold.encode(), Primitive.DATA))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    rej = ms_drive(160, cc.HoldReject)
+    assert rej is not None, f"no HoldReject; got {got}"
+    assert rej.cause.value == 0x3F
+    assert rej.ti == (1 << 3) | 5
+
+    # --- teardown ------------------------------------------------------
+    disc = cc.Disconnect()
+    disc.ti = 0x05
+    ms.l2.write_high_side(L3Frame(disc.encode(), Primitive.DATA))
+    for out in ms.l2.take_l1_out():
+        ul_fn = ms.tx_l2(out, ul_map, max(ul_fn, daemon.fn + 4))
+    rel = ms_drive(160, cc.Release)
+    assert rel is not None, f"no Release; got {got}"
+    assert rel.ti == (1 << 3) | 5  # MO transaction keeps flag 1

@@ -145,6 +145,51 @@ def test_cc_transaction_identifier():
     assert int(bits[0]) == 1 and int(bits[3]) == 1
 
 
+def test_cc_hold_progress_status_round_trip():
+    """The in-call leg set: Hold/HoldReject, Progress, EmergencySetup,
+    CCStatus (GSML3CCMessages.h:164,298,597,621,639)."""
+    round_trip(cc.Hold())
+    round_trip(cc.EmergencySetup())
+    hr = round_trip(cc.HoldReject())
+    assert hr.cause.value == 0x3F  # option-not-available default
+    p = round_trip(cc.Progress(cc.ProgressIndicator(progress=8,
+                                                    location=2)))
+    assert p.progress.progress == 8 and p.progress.location == 2
+    # defaults match the reference's (Unspecified/PrivateServingLocal)
+    pd = round_trip(cc.Progress())
+    assert pd.progress.progress == 0 and pd.progress.location == 1
+    st = round_trip(cc.CCStatus(cc.Cause(value=98), call_state=10))
+    assert st.cause.value == 98 and st.call_state == 10
+
+
+def test_parse_l3_preserves_cc_ti():
+    """parse_l3 must carry the TI nibble through (GSM 04.07
+    11.2.3.1.3): the MOC FSM keys its downlink TI off the parsed
+    Setup's TI value."""
+    s = cc.Setup()
+    s.ti = 0x0D  # flag 1, value 5
+    out = parse_l3(s.encode())
+    assert out.ti == 0x0D
+    h = cc.Hold()
+    h.ti = 0x02
+    assert parse_l3(h.encode()).ti == 0x02
+
+
+def test_mm_information_short_name():
+    """MMInformation carries the 7-bit-packed network short name
+    (L3MMInformation + L3NetworkName, GSML3MMMessages.cpp:268,
+    GSML3MMElements.cpp)."""
+    m = round_trip(mm.MMInformation("TestNet"))
+    assert m.short_name == "TestNet"
+    # lengths that exercise every spare-bit count mod 8
+    for name in ("AB", "Range", "OpenBTS", "Network09", "x" * 17):
+        assert round_trip(mm.MMInformation(name)).short_name == name
+    # the lengthV>1 gate: trivial names produce an empty body
+    empty = mm.MMInformation("A")
+    assert len(empty.encode()) == 16  # header only
+    assert round_trip(mm.MMInformation("")).short_name == ""
+
+
 def test_parse_l3_unknown_returns_none():
     bits = np.zeros(24, np.uint8)
     bits[4:8] = [0, 1, 1, 1]  # PD=7 (unassigned here)

@@ -344,6 +344,22 @@ def test_queue_reload_skips_bad_records(tmp_path, smq):
     assert q2.read_queue_from_file(str(tmp_path / "missing.txt")) == 0
 
 
+def test_queue_reload_non_ascii_bodies(tmp_path, smq):
+    """The header's length field counts BYTES; a non-ASCII body must
+    not mis-frame the records that follow it (the reference smqueue
+    round-trips byte-exact)."""
+    smq.submit("1001", "2001", "héllo wörld €5 ✓✓✓")
+    smq.submit("1002", "2002", "plain follower")
+    path = tmp_path / "q.txt"
+    smq.save_queue_to_file(str(path))
+    q2 = SMq(send=lambda to, req: None, resolve=lambda u: None)
+    assert q2.read_queue_from_file(str(path)) == 2
+    by_key = {(m.frm, m.to): m for m in q2._heap}
+    assert by_key[("1001", "2001")].body == \
+        "héllo wörld €5 ✓✓✓"
+    assert by_key[("1002", "2002")].body == "plain follower"
+
+
 def test_bounce_sends_error_sms_from_411(smq):
     """bounce_message (smqueue.cpp:1103-1148): a message that exhausts
     delivery is bounced as an error SMS from "411" to the original

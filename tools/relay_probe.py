@@ -55,12 +55,17 @@ def main() -> None:
         d2h.append(time.perf_counter() - t0)
 
     rtt = min(rtts)
+    # on a fast local attachment min(h2d) can be ≤ rtt (rtt is a
+    # separate tiny transfer, not a floor of the large one) — clamp
+    # the denominator and report the raw times alongside
     out = {
         "metric": "relay_transfer_path",
         "device": str(jax.devices()[0]),
         "rtt_ms": round(rtt * 1e3, 2),
-        "h2d_MBps": round(args.mb / (min(h2d) - rtt), 1),
-        "d2h_MBps": round(args.mb / (min(d2h) - rtt), 1),
+        "h2d_MBps": round(args.mb / max(min(h2d) - rtt, 1e-6), 1),
+        "d2h_MBps": round(args.mb / max(min(d2h) - rtt, 1e-6), 1),
+        "h2d_s_min": round(min(h2d), 6),
+        "d2h_s_min": round(min(d2h), 6),
         "probe_mb": args.mb,
         "reps": args.reps,
     }
