@@ -93,7 +93,9 @@ def measure_cpu_baseline(mode: str) -> tuple:
     mirror = measure_mirror_baseline()
     ref = measure_ref_baseline()
     key = {"downlink": "samples_per_s_downlink",
-           "duplex": "samples_per_s_duplex"}.get(mode, "samples_per_s")
+           "duplex": "samples_per_s_duplex",
+           "duplex_decoded": "samples_per_s_duplex"}.get(
+               mode, "samples_per_s")
     if ref.get(key, 0.0) > 0.0:
         return ref[key], "reference sigProcLib", mirror
     return mirror, "hand-written mirror", mirror
@@ -114,7 +116,7 @@ def main():
     # faithful configuration.
     n_chan = int(os.environ.get("BENCH_CHANNELS", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
-    # fast | exact | decoded (uplink) | downlink | duplex
+    # exact | decoded (uplink) | downlink | duplex | duplex_decoded
     mode = os.environ.get("BENCH_MODE", "exact")
 
     baseline_sps, baseline_harness, mirror_sps = measure_cpu_baseline(mode)
@@ -136,7 +138,6 @@ def main():
         UplinkSpec,
         uplink_block,
         uplink_block_decoded,
-        uplink_block_fast,
     )
     from openbts_ttsou_tpu.ops import gmsk
     from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
@@ -202,11 +203,12 @@ def main():
     # true synchronization).
     import jax.lax as lax
 
-    if mode in ("downlink", "duplex"):
+    if mode in ("downlink", "duplex", "duplex_decoded"):
         from openbts_ttsou_tpu.models.transceiver import (
             RX_HALO_DEV,
             TX_TAIL_SYM,
             downlink_block,
+            duplex_block_decoded,
             duplex_block_wire,
         )
 
@@ -261,8 +263,7 @@ def main():
                     da = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
                     st2, tx, tail2, wire = duplex_block_wire(
                         cfg, spec, st, ul, tail, dl_bits, dl_valid,
-                        da, fn, True,
-                        os.environ.get("BENCH_DUPLEX_EXACT", "0") == "1")
+                        da, fn, True)
                     probe = (jnp.sum(wire.soft_u8[..., 0].astype(
                         jnp.int32)) + jnp.sum(tx[:, 0, :].astype(
                             jnp.int32)))
@@ -273,9 +274,69 @@ def main():
                     None, length=length)
                 return jnp.sum(probes), jnp.sum(dets)
             return fused
+    elif mode == "duplex_decoded":
+        # the fully-resident configuration: FEC both directions INSIDE
+        # the device program — XCCH + TCH/FS + FACCH encode on the tx
+        # leg, streaming XCCH/RACH/TCH decode on the rx leg; L2 frames
+        # and vocoder bits are the only host payloads
+        from openbts_ttsou_tpu.gsm import l1fec
+        from openbts_ttsou_tpu.models.transceiver import (
+            DECODE_PRELUDE,
+            XcchTxCarry,
+            duplex_block_decoded as _dbd,
+        )
+
+        rng3 = np.random.default_rng(2)
+        tch_mask = np.zeros((n_chan, 8), bool)
+        tch_mask[:, 2:6] = True  # 4 TCH slots, 4 signalling slots
+        frames184 = jnp.asarray(rng3.integers(
+            0, 2, (4, n_chan, 8, 184)).astype(np.uint8))
+        xv = jnp.asarray(np.ones((4, n_chan, 8), bool))
+        speech = jnp.asarray(rng3.integers(
+            0, 2, (3, n_chan, 8, 260)).astype(np.uint8))
+        spv = jnp.asarray(np.ones((3, n_chan, 8), bool))
+        facch = jnp.zeros((3, n_chan, 8, 184), jnp.uint8)
+        fav = jnp.zeros((3, n_chan, 8), bool)
+        content = (frames184, xv, speech, spv, facch, fav,
+                   jnp.asarray(tch_mask))
+
+        def make_fused(length):
+            @jax.jit
+            def fused(state, samples):
+                # the halo'd uplink comes from the ARGUMENT (a
+                # complex64 closure constant would need a host fetch
+                # the relay cannot do)
+                ul_halo = jnp.pad(samples,
+                                  ((0, 0), (RX_HALO_DEV, RX_HALO_DEV)))
+                tail0 = jnp.zeros((n_chan, TX_TAIL_SYM), jnp.complex64)
+                tc0 = (l1fec.TchTxCarry.zeros(n_chan * 8),
+                       XcchTxCarry.zeros(n_chan))
+                prev0 = jnp.zeros((DECODE_PRELUDE, n_chan, 8, 148),
+                                  jnp.float32)
+
+                def body(carry, _):
+                    st, tail, tc, prev, pv, fn = carry
+                    ul = jnp.roll(ul_halo, fn % 3, axis=0)
+                    da = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
+                    st = st._replace(fn=fn % 2715648)
+                    (st2, tx, tail2, blocks, tc2, prev2,
+                     pv2) = _dbd(cfg, spec, st, ul, tail, content, da,
+                                 tc, fn, prev, pv, 0, 0)
+                    probe = (jnp.sum(blocks.bits[..., 0].astype(
+                        jnp.int32)) + jnp.sum(jnp.real(tx[:, 0]))
+                        + jnp.sum(blocks.tch_speech[..., 0].astype(
+                            jnp.int32)))
+                    dets = jnp.sum(blocks.ok) + jnp.sum(blocks.tch_good)
+                    return (st2, tail2, tc2, prev2, pv2,
+                            fn + spec.frames), (probe, dets)
+                carry, (probes, dets) = lax.scan(
+                    body, (state, tail0, tc0, prev0,
+                           jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+                    None, length=length)
+                return jnp.sum(probes), jnp.sum(dets)
+            return fused
     else:
-        block_fn = {"fast": uplink_block_fast,
-                    "exact": uplink_block,
+        block_fn = {"exact": uplink_block,
                     "decoded": uplink_block_decoded}[mode]
 
         def make_fused(length):
@@ -348,7 +409,8 @@ def main():
         detected = -1  # relay D2H hiccup; timing is already measured
 
     metric = {"downlink": "downlink_chain_throughput",
-              "duplex": "duplex_chain_throughput"}.get(
+              "duplex": "duplex_chain_throughput",
+              "duplex_decoded": "duplex_decoded_chain_throughput"}.get(
                   mode, "uplink_chain_throughput")
     print(json.dumps({
         "metric": metric,
@@ -361,12 +423,11 @@ def main():
             "frame_latency_ms": round(dt / (iters * spec.frames) * 1e3,
                                       3),
             "mode": mode,
-            # which duplex submode ran (exact per-frame rx scan vs
-            # once-per-block refresh) — the artifact must record it so
-            # every cited duplex number is attributable
-            **({"duplex_exact": os.environ.get("BENCH_DUPLEX_EXACT",
-                                               "0") == "1"}
-               if mode == "duplex" else {}),
+            # duplex runs are ALWAYS exact semantics since round 5
+            # (the approximate block-refresh mode was deleted; see
+            # EXACT_BAKEOFF.json for the implementation dispatch)
+            **({"duplex_exact": True}
+               if mode.startswith("duplex") else {}),
             "seconds": round(dt, 4),
             "fetch_rtt_s": round(fetch_rtt, 4),
             "detections_last_block": detected,

@@ -174,8 +174,11 @@ class ControlLayer:
             # in flight — an immediate hard reset would wipe it. The
             # reference never hits this because its sends block per
             # frame; here the hard release is deferred to release_tick
-            # until the link drains (or the recycler reclaims it).
-            self.pending_release[id(channel)] = channel
+            # until the link drains, bounded by a T3111-style deadline
+            # (GSM 04.08 11.1.2: the post-release channel-deactivation
+            # guard) so a vanished MS cannot pin the channel.
+            self.pending_release[id(channel)] = (channel,
+                                                 self.bts.clock.fn())
             return
         self._hard_release(channel)
 
@@ -185,10 +188,17 @@ class ControlLayer:
         self.bts.release(channel)
 
     def release_tick(self) -> None:
-        """Finish deferred releases whose LAPDm queues have drained
-        (called from the BTS service loop)."""
-        for key, ch in list(self.pending_release.items()):
-            if ch.tx_drained() or not ch.l1.active:
+        """Finish deferred releases whose LAPDm queues have drained —
+        or whose T3111 drain deadline passed (called from the BTS
+        service loop)."""
+        from openbts_ttsou_tpu.utils.gsm_time import fn_delta
+
+        t3111_frames = int(
+            self.bts.config.get_int("GSM.Timer.T3111", 2000) / 4.615)
+        now_fn = self.bts.clock.fn()
+        for key, (ch, fn0) in list(self.pending_release.items()):
+            if ch.tx_drained() or not ch.l1.active or \
+                    fn_delta(now_fn, fn0) > t3111_frames:
                 del self.pending_release[key]
                 self._hard_release(ch)
 

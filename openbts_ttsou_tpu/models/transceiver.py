@@ -48,6 +48,29 @@ class UplinkSpec(NamedTuple):
         return self.block_symbols * self.q // self.p
 
 
+#: carrier-count boundary of the exact-engine implementation bake-off
+#: (tools/exact_bakeoff.py on the TPU v5e): at or below this many
+#: carriers the batched formulation (`process_block_exact`) wins — the
+#: per-frame scan pays 26 small-kernel launches against tiny batches —
+#: while above it the scan's per-frame working set tiles in VMEM where
+#: the batched form streams 13×-larger intermediates through HBM.
+#: BOTH implementations compute identical exact semantics
+#: (tests/test_exact_block.py), so this is purely a scheduling choice.
+EXACT_BATCH_MAX_CHAN = 128
+
+
+def _exact_rx(cfg: eng.TrxConfig, frames: int, state: eng.TrxState,
+              sym: Array) -> tuple[eng.TrxState, eng.RxResult]:
+    """Exact-semantics window receiver, implementation chosen by the
+    static bake-off boundary (see EXACT_BATCH_MAX_CHAN)."""
+    from openbts_ttsou_tpu.parallel.sharded import _slot_windows
+
+    if cfg.n_chan <= EXACT_BATCH_MAX_CHAN:
+        return process_block_exact(cfg, frames, state, sym)
+    wins = _slot_windows(sym, frames)
+    return lax.scan(lambda st, fr: eng.rx_step(cfg, st, fr), state, wins)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def uplink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
                  samples: Array) -> tuple[eng.TrxState, eng.RxResult]:
@@ -55,111 +78,219 @@ def uplink_block(cfg: eng.TrxConfig, spec: UplinkSpec, state: eng.TrxState,
 
     samples: [C, spec.block_in] complex64 at the 400 kS/s device rate
     (the 64M USRP path, Transceiver/radioInterface.cpp:197-260).
-    Returns per-frame results stacked [frames, C, 8, ...].
-    """
-    from openbts_ttsou_tpu.parallel.sharded import _slot_windows
-
+    Returns per-frame results stacked [frames, C, 8, ...] with the
+    reference's exact per-frame semantics (pullRadioVector,
+    Transceiver.cpp:268-408)."""
     lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)  # trace-time const
     sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
-    sym = sym[..., : spec.block_symbols]
-    wins = _slot_windows(sym, spec.frames)
-
-    def frame_step(st, frame):
-        return eng.rx_step(cfg, st, frame)
-
-    return lax.scan(frame_step, state, wins)
+    return _exact_rx(cfg, spec.frames, state,
+                     sym[..., : spec.block_symbols])
 
 
-def process_block_fast(cfg: eng.TrxConfig, frames: int,
-                       state: eng.TrxState, sym: Array
-                       ) -> tuple[eng.TrxState, eng.RxResult]:
-    """Throughput-mode block receiver on a symbol-rate stream: every
-    burst of the block runs through detection/equalization/demod in ONE
-    batch.
+def process_block_exact(cfg: eng.TrxConfig, frames: int,
+                        state: eng.TrxState, sym: Array
+                        ) -> tuple[eng.TrxState, eng.RxResult]:
+    """Exact-semantics block receiver at block-batched kernel sizes.
 
-    Semantics vs the exact per-frame scan (`uplink_block`): adaptive
-    thresholds and channel/DFE state are taken from the block start and
-    updated once per block (a ≤13-frame refresh lag). The reference
-    itself re-estimates channels only every 50 frames
-    (Transceiver52M/Transceiver.cpp:313) and drifts its energy threshold
-    slowly, so the operational behavior is unchanged — but the
-    sequential depth drops from frames·157 to 157 scan steps per block,
-    which is what the MXU-parallel layout wants.
+    Semantically identical to scanning `eng.rx_step` over the window
+    (pinned burst-for-burst by tests/test_exact_block.py), but
+    restructured for the TPU: everything threshold-INdependent — the
+    TSC/RACH correlators, channel estimation, DFE design, demodulation
+    and the equalizer (the window's heavy compute) — runs ONCE batched
+    over all frames·C·8 bursts, while the reference's genuinely
+    sequential recurrences (the per-slot adaptive-threshold walk, the
+    energy gate against the running threshold, and channel/DFE state
+    adoption — Transceiver.cpp:294-375) run in a `lax.scan` whose body
+    is a few dozen [C]/[C,8] scalar ops. The per-frame scan of the
+    full `rx_step` pipeline paid 26 small kernels of launch/HBM
+    overhead per block at small carrier counts (the 8-carrier wire
+    regime); here the sequential chain carries no heavy tensors.
+
+    Key structural facts making this exact, not approximate:
+    * detection (peak/valley correlation, TOA bounds) never reads the
+      energy threshold — only the final energy gate does;
+    * within one frame all 8 slots gate against the frame-ENTRY
+      threshold (rx_step computes has_energy once, then folds);
+    * channel/DFE adoption selects whole frames: each burst's
+      equalizer weights are those of the LAST adoption at or before
+      its frame (or the entry state), so per-burst weight selection is
+      a [F+1]-way one-hot contraction over batched candidates.
     """
     from openbts_ttsou_tpu.ops import correlate as xcorr
     from openbts_ttsou_tpu.ops import dfe as dfe_mod
     from openbts_ttsou_tpu.ops import gmsk as gmsk_mod
     from openbts_ttsou_tpu.parallel.sharded import _slot_windows
+    from openbts_ttsou_tpu.utils.gsm_time import fn_delta
 
     c, sps = cfg.n_chan, cfg.sps
     f = frames
     wins = _slot_windows(sym, f)  # [F, C, 8, T]
     bursts = wins.reshape((-1, wins.shape[-1]))  # [F·C·8, T]
-    n = bursts.shape[0]
+    fn0 = state.fn
+    fns = (fn0 + jnp.arange(f)) % HYPERFRAME  # [F]
 
-    fns = (state.fn + jnp.arange(f)) % HYPERFRAME  # [F]
     corr_type = jax.vmap(
         lambda fn: eng.expected_corr_type(state.chan_type, fn))(fns)
-    is_tsc = (corr_type == eng.CorrType.TSC).reshape(-1)
-    is_rach = (corr_type == eng.CorrType.RACH).reshape(-1)
+    active = (corr_type == eng.CorrType.TSC) | \
+        (corr_type == eng.CorrType.RACH)
+    if cfg.rach_slots is not None:
+        allowed = np.zeros(8, bool)
+        allowed[list(cfg.rach_slots)] = True
+        active = active & ~((corr_type == eng.CorrType.RACH) &
+                            ~jnp.asarray(allowed)[None, None, :])
+    is_tsc = corr_type == eng.CorrType.TSC  # [F, C, 8]
+    is_rach = corr_type == eng.CorrType.RACH
+    ts_flat = is_tsc.reshape(-1)
+    ra_flat = is_rach.reshape(-1)
 
-    thr = jnp.tile(jnp.repeat(state.energy_threshold, 8), f)
-    has_energy, _ = xcorr.energy_detect(bursts, 20 * sps, thr)
+    # raw per-burst energy once; the scan re-compares it against the
+    # walking threshold (energyDetect gate, cpp:292-303)
+    _, energy = xcorr.energy_detect(bursts, 20 * sps, jnp.float32(0))
+    energy = energy.reshape(f, c, 8)
+
+    need_dfe = state.max_expected_delay > 1  # [C]
+    # estimation-tail gate: an upper bound on "some frame wants an
+    # estimate" that needs no threshold walk — staleness without
+    # adoption is monotone (max at the last frame), and a mid-window
+    # validity clear (which can create demand) requires a TSC burst
+    # in the window at all. Over-approximating only costs compute;
+    # the adopted-state semantics come from the scan's do_est.
+    stale_ub = fn_delta(fns[-1], state.chan_estimate_fn) > 50  # [C,8]
+    gate_est_ub = jnp.any(
+        need_dfe[:, None] & (stale_ub | ~state.chan_valid |
+                             jnp.any(is_tsc, axis=0)))
 
     tsc_flat = jnp.tile(jnp.repeat(state.tsc, 8), f)
-    # estimation tail gated like the exact engine: only slots with
-    # SETMAXDELAY > 1 ever consume a channel estimate (needDFE,
-    # Transceiver.cpp:311-330)
     det_tsc, chan_est, chan_off = xcorr.analyze_traffic_burst(
         bursts, tsc_flat, sps, threshold=cfg.tsc_threshold,
         estimate_channel=True, max_toa=cfg.max_toa,
-        gate_estimation=jnp.any(state.max_expected_delay > 1))
+        gate_estimation=gate_est_ub)
     det_rach = eng._detect_rach_slots(
         wins.reshape(f * c, 8, wins.shape[-1]), sps, cfg.rach_threshold,
         cfg.rach_slots)
 
-    success = has_energy & jnp.where(
-        is_tsc, det_tsc.detected,
-        jnp.where(is_rach, det_rach.detected, False))
-    # per-carrier SETMAXDELAY acceptance, as in rx_step (RACH upper
-    # bound when set; TSC window ±max(SETMAXDELAY, 3)·sps —
-    # Transceiver52M/sigProcLib.cpp:982-990)
+    # type dispatch + TOA acceptance — the threshold-independent part
+    # of `success`; the energy gate joins inside the scan
+    det_any = jnp.where(ts_flat, det_tsc.detected,
+                        jnp.where(ra_flat, det_rach.detected, False))
     med = jnp.tile(jnp.repeat(state.max_expected_delay[:, None], 8,
                               axis=1).reshape(-1), f
                    ).astype(jnp.float32) * sps
-    success = success & jnp.where(
-        is_rach & (med > 0), det_rach.toa <= med, True)
+    det_any = det_any & jnp.where(ra_flat & (med > 0),
+                                  det_rach.toa <= med, True)
     tsc_bound = jnp.maximum(med, 3.0 * sps)
-    success = success & jnp.where(
-        is_tsc, (det_tsc.toa <= tsc_bound) & (det_tsc.toa >= -tsc_bound),
+    det_any = det_any & jnp.where(
+        ts_flat, (det_tsc.toa <= tsc_bound) & (det_tsc.toa >= -tsc_bound),
         True)
-    amplitude = jnp.where(is_tsc, det_tsc.amplitude, det_rach.amplitude)
-    toa = jnp.where(is_tsc, det_tsc.toa, det_rach.toa)
+    amplitude = jnp.where(ts_flat, det_tsc.amplitude, det_rach.amplitude)
+    toa = jnp.where(ts_flat, det_tsc.toa, det_rach.toa)
 
-    # demod + equalize for the WHOLE block at once
-    soft_plain = gmsk_mod.demodulate_burst(bursts, sps, amplitude, toa)
-    need_dfe = jnp.tile(jnp.repeat(state.max_expected_delay > 1, 8), f)
-    use_dfe = is_tsc & need_dfe & jnp.tile(
-        state.chan_valid.reshape(-1), f)
+    # ---- the light sequential scan: threshold walk + adoption --------
+    def frame_step(carry, inp):
+        thr, prev_false, valid, est_fn, last_adopt = carry
+        ii, fn_i, act_i, e_i, d_raw, d_ok, tsc_i = inp
+        thr_entry = thr
+        gate = (e_i > (thr * thr)[:, None]) & act_i
+        success = gate & d_ok
+        frames_since = fn_delta(fn_i, est_fn)
+        want = ((frames_since > 50) | ~valid) & need_dfe[:, None]
+        do_est = want & tsc_i & success
+        new_valid = jnp.where(do_est, True,
+                              valid & ~(~d_raw & tsc_i & gate))
+        new_est_fn = jnp.where(do_est, jnp.full_like(est_fn, fn_i),
+                               est_fn)
+        new_last = jnp.where(do_est, jnp.full_like(last_adopt, ii),
+                             last_adopt)
+        # slot-ordered threshold fold — verbatim rx_step's (cpp:294-375)
+        for tn in range(8):
+            frames_elapsed = fn_delta(fn_i, prev_false
+                                      ).astype(jnp.float32)
+            low_energy = act_i[:, tn] & ~gate[:, tn]
+            quiet = low_energy & (frames_elapsed > 50)
+            thr = jnp.where(quiet, thr - 10.0, thr)
+            prev_false = jnp.where(quiet, fn_i, prev_false)
+            hit = success[:, tn]
+            thr = jnp.where(hit, jnp.maximum(thr - 1.0, 0.0), thr)
+            miss = act_i[:, tn] & gate[:, tn] & ~success[:, tn]
+            thr = jnp.where(
+                miss, thr + 10.0 * jnp.exp(-frames_elapsed), thr)
+            prev_false = jnp.where(miss, fn_i, prev_false)
+        return ((thr, prev_false, new_valid, new_est_fn, new_last),
+                (success, do_est, new_valid, new_last, thr_entry))
+
+    carry0 = (state.energy_threshold, state.prev_false_detect_fn,
+              state.chan_valid, state.chan_estimate_fn,
+              jnp.full((c, 8), -1, jnp.int32))
+    xs = (jnp.arange(f, dtype=jnp.int32), fns, active, energy,
+          det_tsc.detected.reshape(f, c, 8),
+          det_any.reshape(f, c, 8), is_tsc)
+    ((thr_f, pf_f, valid_f, estfn_f, last_f),
+     (success_s, do_est_s, valid_post_s, last_post_s,
+      thr_entry_s)) = lax.scan(frame_step, carry0, xs)
+    success = success_s.reshape(-1)  # [F·C·8]
+
+    # ---- estimation candidates + DFE design (batched, gated) ---------
+    thr_b = jnp.repeat(thr_entry_s, 8, axis=-1).reshape(-1)  # [F·C·8]
+    new_snr_all = jnp.abs(amplitude) ** 2 / (thr_b * thr_b + 1.0)
+    amp_safe = jnp.where(amplitude == 0, 1.0, amplitude)
+    chan_norm_all = chan_est / amp_safe[:, None]
+    dfe_chan_all = (chan_norm_all[..., :: sps] if sps > 1
+                    else chan_norm_all)
+    n = f * c * 8
+    w_all, b_all = jax.lax.cond(
+        gate_est_ub,
+        lambda _: dfe_mod.design_dfe(dfe_chan_all,
+                                     jnp.maximum(new_snr_all, 1e-6),
+                                     eng.DFE_NF),
+        lambda _: (jnp.zeros((n, eng.DFE_NF), jnp.complex64),
+                   jnp.zeros((n, eng.CHAN_TAPS - 1), jnp.complex64)),
+        operand=None)
+
+    # ---- per-burst candidate selection ([F+1]-way one-hot) -----------
+    c8 = c * 8
+
+    def _cands(entry, per_frame):
+        return jnp.concatenate(
+            [entry.reshape((1, c8) + entry.shape[2:]),
+             per_frame.reshape((f, c8) + per_frame.shape[1:])], axis=0)
+
+    def _sel(cand, sel):
+        """cand [F+1, C8, ...] × sel [.., C8, F+1] → [.., C8, ...]."""
+        if jnp.iscomplexobj(cand):
+            s = sel.astype(cand.real.dtype)
+            return (jnp.einsum("jn...,knj->kn...", cand.real, s)
+                    + 1j * jnp.einsum("jn...,knj->kn...", cand.imag, s)
+                    ).astype(cand.dtype)
+        return jnp.einsum("jn...,knj->kn...",
+                          cand.astype(jnp.float32),
+                          sel.astype(jnp.float32)).astype(cand.dtype)
+
+    # equalizer weights per burst: adoption state AFTER its own frame
+    sel_post = (jnp.arange(f + 1)[None, None, :] ==
+                (last_post_s.reshape(f, c8) + 1)[..., None])  # [F,C8,F+1]
+    cand_w = _cands(state.dfe_forward, w_all)
+    cand_b = _cands(state.dfe_feedback, b_all)
+    cand_off = _cands(state.chan_resp_offset.reshape(c, 8, 1),
+                      chan_off.reshape(n, 1))
+    w_sel = _sel(cand_w, sel_post).reshape(n, eng.DFE_NF)
+    b_sel = _sel(cand_b, sel_post).reshape(n, eng.CHAN_TAPS - 1)
+    off_sel = _sel(cand_off, sel_post).reshape(n)
+
+    use_dfe = (ts_flat & jnp.tile(jnp.repeat(need_dfe, 8), f) &
+               valid_post_s.reshape(-1))
     k = 148
 
-    # The equalizer is a 157-step sequential scan — by far the deepest
-    # dependency chain of the block. It only matters when some channel
-    # runs with SETMAXDELAY > 1 and a valid estimate, so gate the whole
-    # scan at runtime (the reference likewise branches per burst,
-    # Transceiver.cpp:381-395).
-    def _run_eq(_):
-        scaled = bursts / jnp.where(amplitude == 0, 1.0,
-                                    amplitude)[:, None]
-        dfe_w = jnp.tile(state.dfe_forward.reshape(c * 8, -1), (f, 1))
-        dfe_b = jnp.tile(state.dfe_feedback.reshape(c * 8, -1), (f, 1))
-        off_b = jnp.tile(state.chan_resp_offset.reshape(-1), f)
-        return dfe_mod.equalize_burst(scaled, toa - off_b, sps, dfe_w,
-                                      dfe_b)[:, :k]
+    # ---- demod + equalizer (batched, equalizer runtime-gated) --------
+    soft_plain = gmsk_mod.demodulate_burst(bursts, sps, amplitude, toa)
 
-    soft_eq = jax.lax.cond(jnp.any(use_dfe), _run_eq,
-                           lambda _: jnp.full((n, k), 0.5, jnp.float32),
-                           operand=None)
+    def _run_eq(_):
+        scaled = bursts / amp_safe[:, None]
+        return dfe_mod.equalize_burst(scaled, toa - off_sel, sps,
+                                      w_sel, b_sel)[:, :k]
+
+    soft_eq = jax.lax.cond(
+        jnp.any(use_dfe), _run_eq,
+        lambda _: jnp.full((n, k), 0.5, jnp.float32), operand=None)
     soft = jnp.where(use_dfe[:, None], soft_eq, soft_plain[:, :k])
     soft = jnp.where(success[:, None], soft, 0.5)
 
@@ -168,107 +299,39 @@ def process_block_fast(cfg: eng.TrxConfig, frames: int,
                      ).astype(jnp.int32)
     timing = jnp.round(toa * 256.0 / sps).astype(jnp.int32)
 
-    # once-per-block state refresh: last successful TSC estimate per
-    # (chan, slot) updates the channel/DFE state; thresholds get the
-    # net block adjustment
-    succ_f = success.reshape(f, c, 8)
-    # need_dfe mask keeps the gated-off estimation tail (zeros) from
-    # overwriting live channel state: a channel only consumes estimates
-    # when SETMAXDELAY > 1, exactly when the gate is open
-    est_ok = (det_tsc.detected & is_tsc & has_energy &
-              need_dfe).reshape(f, c, 8)
-    last = jnp.argmax(jnp.cumsum(est_ok, axis=0) *
-                      est_ok, axis=0)  # last True index (0 if none)
-    any_est = est_ok.any(axis=0)
-    # Select frame `last` per (chan, slot) by a one-hot contraction
-    # over the 13-frame axis — NOT a row gather from the [F·C·8, ...]
-    # arrays: a gather whose operand is a fused producer makes XLA
-    # re-materialize the producer element-at-a-time (measured 190 ms
-    # of the 234 ms block at 1024 carriers; the one-hot form is free).
-    sel = (jnp.arange(f)[:, None] ==
-           last.reshape(-1)[None, :]).astype(jnp.float32)  # [F, C·8]
+    # ---- final state: LAST adoption per (chan, slot), or entry -------
+    sel_f = (jnp.arange(f + 1)[None, :] ==
+             (last_f.reshape(c8) + 1)[:, None])[None]  # [1, C8, F+1]
 
-    def pick(x):
-        """x [F·C·8, ...] → the per-(chan,slot) row at frame `last`."""
-        xf = x.reshape((f, c * 8) + x.shape[1:])
-        if jnp.iscomplexobj(x):
-            s = sel.astype(xf.real.dtype)
-            return (jnp.einsum("fn...,fn->n...", xf.real, s)
-                    + 1j * jnp.einsum("fn...,fn->n...", xf.imag, s)
-                    ).astype(x.dtype)
-        return jnp.einsum("fn...,fn->n...", xf.astype(jnp.float32),
-                          sel).astype(x.dtype)
-
-    amp_sel = pick(amplitude)  # [C·8]
-    new_amp = amp_sel.reshape(c, 8)
-    chan_norm = pick(chan_est) / jnp.where(amp_sel == 0, 1.0,
-                                           amp_sel)[:, None]
-    snr_new = (jnp.abs(amp_sel) ** 2 /
-               (pick(thr) ** 2 + 1.0)).reshape(c, 8)
-    # symbol-rate DFE design (see trx/engine.py: the reference's
-    # designDFE/equalizeBurst are symbol-rate constructs), gated with
-    # the estimation tail
-    w_new, b_new = jax.lax.cond(
-        jnp.any(state.max_expected_delay > 1),
-        lambda _: dfe_mod.design_dfe(
-            chan_norm[..., ::sps],
-            jnp.maximum(snr_new.reshape(-1), 1e-6), eng.DFE_NF),
-        lambda _: (jnp.zeros((c * 8, eng.DFE_NF), jnp.complex64),
-                   jnp.zeros((c * 8, eng.CHAN_TAPS - 1), jnp.complex64)),
-        operand=None)
-
-    def upd(old, new):
-        m = any_est.reshape((c, 8) + (1,) * (old.ndim - 2))
-        return jnp.where(m, new.reshape(old.shape), old)
-
-    hits = succ_f.sum(axis=(0, 2))  # per-chan detections in block
-    acct = ((corr_type != eng.CorrType.OFF) &
-            (corr_type != eng.CorrType.IDLE))
-    # RACH-typed slots outside cfg.rach_slots never detect (no decoder
-    # installed in the reference) — exclude them from miss accounting,
-    # matching rx_step's `active` mask
-    if cfg.rach_slots is not None:
-        allowed = np.zeros(8, bool)
-        allowed[list(cfg.rach_slots)] = True
-        acct = acct & ~((corr_type == eng.CorrType.RACH) &
-                        ~jnp.asarray(allowed)[None, None, :])
-    misses = (has_energy.reshape(f, c, 8) & ~succ_f &
-              acct.reshape(f, c, 8)).sum(axis=(0, 2))
-    e_thr = jnp.maximum(state.energy_threshold - hits.astype(jnp.float32),
-                        0.0) + 10.0 * jnp.minimum(
-        misses.astype(jnp.float32), 1.0)
+    def pick_f(entry, per_frame):
+        return _sel(_cands(entry, per_frame), sel_f)[0]
 
     new_state = state._replace(
-        fn=(state.fn + f) % HYPERFRAME,
-        energy_threshold=e_thr,
-        chan_valid=state.chan_valid | any_est,
-        chan_response=upd(state.chan_response, chan_norm),
-        chan_amplitude=upd(state.chan_amplitude, new_amp),
-        chan_resp_offset=upd(state.chan_resp_offset,
-                             pick(chan_off).reshape(c, 8)),
-        snr=upd(state.snr, snr_new),
-        dfe_forward=upd(state.dfe_forward, w_new),
-        dfe_feedback=upd(state.dfe_feedback, b_new),
+        fn=(fn0 + f) % HYPERFRAME,
+        energy_threshold=thr_f,
+        prev_false_detect_fn=pf_f,
+        chan_valid=valid_f,
+        chan_estimate_fn=estfn_f,
+        chan_response=pick_f(state.chan_response, chan_norm_all
+                             ).reshape(c, 8, -1),
+        chan_resp_offset=pick_f(state.chan_resp_offset.reshape(c, 8, 1),
+                                chan_off.reshape(n, 1)).reshape(c, 8),
+        chan_amplitude=pick_f(state.chan_amplitude.reshape(c, 8, 1),
+                              amplitude.reshape(n, 1)).reshape(c, 8),
+        snr=pick_f(state.snr.reshape(c, 8, 1),
+                   new_snr_all.reshape(n, 1)).reshape(c, 8),
+        dfe_forward=pick_f(state.dfe_forward, w_all).reshape(c, 8, -1),
+        dfe_feedback=pick_f(state.dfe_feedback, b_all
+                            ).reshape(c, 8, -1),
     )
     res = eng.RxResult(
         detected=success.reshape(f, c, 8),
-        is_rach=(success & is_rach).reshape(f, c, 8),
+        is_rach=(success & ra_flat).reshape(f, c, 8),
         soft_bits=soft.reshape(f, c, 8, k),
         rssi=rssi.reshape(f, c, 8),
         timing=timing.reshape(f, c, 8),
     )
     return new_state, res
-
-
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def uplink_block_fast(cfg: eng.TrxConfig, spec: UplinkSpec,
-                      state: eng.TrxState, samples: Array
-                      ) -> tuple[eng.TrxState, eng.RxResult]:
-    """Resampler front-end + `process_block_fast`."""
-    lpf = fir.resampler_lpf(spec.p, spec.q, spec.taps)
-    sym = fir.polyphase_resample(samples, spec.p, spec.q, lpf)
-    return process_block_fast(cfg, spec.frames, state,
-                              sym[..., : spec.block_symbols])
 
 
 class DecodedBlocks(NamedTuple):
@@ -301,10 +364,10 @@ class DecodedBlocks(NamedTuple):
     tch_valid: Array
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
 def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                          state: eng.TrxState, samples: Array,
-                         bsic: int = 0, exact: bool = True
+                         bsic: int = 0
                          ) -> tuple[eng.TrxState, eng.RxResult,
                                     DecodedBlocks]:
     """Full TPU-resident receiver: device-rate IQ → detection/demod →
@@ -321,10 +384,7 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     from openbts_ttsou_tpu.gsm import l1fec
 
     fn0 = state.fn
-    if exact:
-        new_state, res = uplink_block(cfg, spec, state, samples)
-    else:
-        new_state, res = uplink_block_fast(cfg, spec, state, samples)
+    new_state, res = uplink_block(cfg, spec, state, samples)
     return new_state, res, decode_block(res, fn0, spec.frames, bsic)
 
 
@@ -543,6 +603,181 @@ def downlink_block_encoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                           fn0)
 
 
+#: leftover coded XCCH frames a streaming window carries to its
+#: successor: a 4-burst group starting ≤3 frames before the window
+#: edge finishes inside the next window
+XCCH_TX_CARRY = 3
+
+
+class XcchTxCarry:
+    """Cross-window carry for the streaming XCCH downlink grid (see
+    `_encode_dl_window` with `xcch_phase`): the ≤3 coded burst frames
+    of a group that started in the previous window plus their valid
+    plane — the tx-side mirror of the rx DECODE_PRELUDE."""
+
+    @staticmethod
+    def zeros(c: int):
+        return (jnp.zeros((XCCH_TX_CARRY, c, 8, 148), jnp.uint8),
+                jnp.zeros((XCCH_TX_CARRY, c, 8), bool))
+
+
+def _encode_dl_window(cfg: eng.TrxConfig, spec: UplinkSpec,
+                      state: eng.TrxState, frames184: Array,
+                      xcch_valid: Array, speech: Array, sp_valid: Array,
+                      facch: Array, fa_valid: Array, tch_mask: Array,
+                      carry, fn0: Array, xcch_phase: int | None = None,
+                      xcch_carry: tuple | None = None
+                      ) -> tuple[Array, Array, tuple, tuple | None]:
+    """Shared FEC-encode leg of `downlink_block_tch` and
+    `duplex_block_decoded`: XCCH + TCH/FS + FACCH content for one
+    window → (bits [F, C, 8, 148] with per-carrier TSC stamped, valid
+    [F, C, 8], tch_carry', xcch_carry').
+
+    Two XCCH layouts:
+    * legacy (`xcch_phase=None`): fn0 must be FN%4-aligned; group g
+      occupies window frames [4g..4g+3] (downlink_block_encoded's
+      contract).
+    * streaming (`xcch_phase = fn0 % 4`, static): groups live on the
+      ABSOLUTE FN%4 grid — the grid the uplink decoder's groups use
+      (decode_block) — so 13-frame windows whose starts drift mod 4
+      still transmit decodable groups. Group g of this window starts
+      at local frame ((-phase) % 4) + 4g; a group extending past the
+      window edge carries its tail frames to the next window through
+      `xcch_carry` (the tx mirror of the rx soft-bit prelude).
+      frames184 is then [4, C, 8, 184] (the at-most-4 group starts).
+    """
+    from openbts_ttsou_tpu.gsm import l1fec
+    from openbts_ttsou_tpu.utils import constants as C
+
+    f, c = spec.frames, cfg.n_chan
+    g = frames184.shape[0]
+    gt = speech.shape[0]
+
+    # ---- XCCH leg (XCCHL1Encoder::sendFrame, GSML1FEC.cpp:768-849) ---
+    bursts = l1fec.xcch_encode(frames184, tsc=None)  # [G, C, 8, 4, 148]
+    new_xcch_carry = None
+    if xcch_phase is None:
+        xb = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, 8, 148)
+        pad = f - g * 4
+        xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        xv = jnp.pad(jnp.repeat(xcch_valid, 4, axis=0),
+                     ((0, pad), (0, 0), (0, 0)))
+    else:
+        assert g == 4 and xcch_carry is not None
+        off = (-int(xcch_phase)) % 4  # local frame of the first grid
+        cb, cv = xcch_carry
+        nb = jnp.moveaxis(bursts, 3, 1).reshape(16, c, 8, 148)
+        nv = jnp.repeat(xcch_valid, 4, axis=0)  # [16, C, 8]
+        seq_b = jnp.concatenate([cb, nb], axis=0)  # [19, C, 8, 148]
+        seq_v = jnp.concatenate([cv, nv], axis=0)
+        # static slice: carry frames fill local 0..off−1 (the window
+        # reads the LAST `off` carry entries), the window spans
+        # grid-relative [XCCH_TX_CARRY−off, +f)
+        start = XCCH_TX_CARRY - off
+        xb = lax.slice_in_dim(seq_b, start, start + f, axis=0)
+        xv = lax.slice_in_dim(seq_v, start, start + f, axis=0)
+        # next carry, RIGHT-aligned so the successor's static slice
+        # [XCCH_TX_CARRY−off', :] lands on the continuation frames:
+        # its off' = (off − f) % 4 determines how many it consumes
+        off_next = (off - f) % 4
+        cstart = start + f - (XCCH_TX_CARRY - off_next)
+        keep = (jnp.arange(XCCH_TX_CARRY) >=
+                (XCCH_TX_CARRY - off_next))[:, None, None]
+        new_xcch_carry = (
+            lax.slice_in_dim(seq_b, cstart,
+                             cstart + XCCH_TX_CARRY, axis=0),
+            lax.slice_in_dim(seq_v, cstart,
+                             cstart + XCCH_TX_CARRY, axis=0) & keep)
+
+    # ---- TCH/FS + FACCH leg (TCHFACCHL1Encoder, GSML1FEC.cpp:
+    # 1106-1120, 1280-1393) --------------------------------------------
+    n = c * 8
+    tb, t_isburst, _hu, carry2 = l1fec.tch_tx_window(
+        speech.reshape(gt, n, 260), sp_valid.reshape(gt, n),
+        facch.reshape(gt, n, 184), fa_valid.reshape(gt, n),
+        carry, fn0, f)
+    tb = tb.reshape(f, c, 8, 148)
+    t_isburst = t_isburst.reshape(f, c, 8)
+    tv = t_isburst & tch_mask[None]
+
+    bits = jnp.where(tch_mask[None, :, :, None], tb, xb)
+    valid = jnp.where(tch_mask[None], tv, xv)
+    tsc_bank = jnp.asarray(np.asarray(C.TRAINING_SEQUENCE, np.uint8))
+    mid = tsc_bank[state.tsc]  # [C, 26]
+    bits = bits.at[..., 61:87].set(
+        mid[None, :, None, :].astype(bits.dtype))
+    return bits.astype(jnp.uint8), valid, carry2, new_xcch_carry
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 11, 12))
+def duplex_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
+                         state: eng.TrxState, ul_halo: Array,
+                         tx_tail: Array, dl_content: tuple,
+                         atten_db: Array, tx_carry, fn0_dl: Array,
+                         prev_soft: Array, prev_valid: Array,
+                         bsic: int = 0, xcch_phase: int = 0
+                         ) -> tuple[eng.TrxState, Array, Array,
+                                    DecodedBlocks, tuple, Array, Array]:
+    """The fully-resident BTS layer 1, both directions, ONE device
+    program: downlink FEC (XCCH + TCH/FS + FACCH encode, diagonal
+    interleave, stealing flags) → GMSK modulate → 96/65 resample, AND
+    uplink 65/96 resample → exact detection/demod → streaming FEC
+    decode (XCCH + RACH + TCH/FS + FACCH with the cross-window soft-bit
+    prelude carry). The reference splits all of this across two
+    processes and a UDP socket (Transceiver52M ↔ GSML1FEC); here L2
+    frames and vocoder bits are the ONLY host traffic — IQ, soft bits
+    and coded bits never leave the device.
+
+    dl_content = (frames184 [4, C, 8, 184] on the ABSOLUTE FN%4 grid
+    (see `_encode_dl_window` streaming layout), xcch_valid [4, C, 8],
+    speech [Gt, C, 8, 260], sp_valid, facch [Gt, C, 8, 184], fa_valid,
+    tch_mask [C, 8]); tx_carry = (l1fec.TchTxCarry.zeros(C*8),
+    XcchTxCarry.zeros(C)) threading BOTH cross-window encoder carries;
+    xcch_phase (static) = fn0_dl % 4 — the window-start drift of
+    13-frame windows cycles through 4 phases, each its own compiled
+    variant; prev_soft/prev_valid the streaming decode carry
+    (uplink_block_decoded_stream). Stream continuity (ul_halo, tx_tail,
+    TX_DELAY_DEV) as in duplex_block_wire.
+
+    Returns (state', tx_dev [C, block_in], tx_tail', DecodedBlocks,
+    tx_carry', prev_soft', prev_valid').
+    Match: GSML1FEC.cpp:572-630,1106-1120 (the encode/decode pair)
+    riding Transceiver.cpp:268-408/672-722 (the radio pair)."""
+    from openbts_ttsou_tpu.parallel.halo import resample_block
+
+    frames = spec.frames
+    (frames184, xcch_valid, speech, sp_valid, facch, fa_valid,
+     tch_mask) = dl_content
+    tch_carry, xcch_carry = tx_carry
+
+    # ---- downlink: FEC encode → modulate → resample -------------------
+    bits, valid, tch_carry2, xcch_carry2 = _encode_dl_window(
+        cfg, spec, state, frames184, xcch_valid, speech, sp_valid,
+        facch, fa_valid, tch_mask, tch_carry, fn0_dl,
+        xcch_phase=xcch_phase, xcch_carry=xcch_carry)
+    tx_carry2 = (tch_carry2, xcch_carry2)
+    slots = eng.tx_frames(cfg, state, bits, valid, atten_db)
+    sym = _assemble_stream(slots)
+    stream = jnp.concatenate([tx_tail.astype(sym.dtype), sym], axis=-1)
+    lpf_tx = fir.resampler_lpf(spec.q, spec.p, 651)
+    y = fir.polyphase_resample(stream, spec.q, spec.p, lpf_tx)
+    tx = lax.slice_in_dim(y, TX_DELAY_DEV, TX_DELAY_DEV + spec.block_in,
+                          axis=-1)
+    new_tail = sym[..., -TX_TAIL_SYM:]
+
+    # ---- uplink: resample → exact rx → streaming FEC decode -----------
+    fn0 = state.fn
+    lpf_rx = fir.resampler_lpf(spec.p, spec.q, spec.taps)
+    sym_ul = resample_block(ul_halo, spec.p, spec.q, lpf_rx, RX_HALO_DEV,
+                            spec.block_in)
+    state2, res = _exact_rx(cfg, frames, state,
+                            sym_ul[..., : spec.block_symbols])
+    blocks = decode_block(res, fn0, frames, bsic,
+                          prev_soft=prev_soft, prev_valid=prev_valid)
+    return (state2, tx, new_tail, blocks, tx_carry2,
+            res.soft_bits[-DECODE_PRELUDE:], jnp.asarray(True))
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def downlink_block_tch(cfg: eng.TrxConfig, spec: UplinkSpec,
                        state: eng.TrxState, frames184: Array,
@@ -568,43 +803,10 @@ def downlink_block_tch(cfg: eng.TrxConfig, spec: UplinkSpec,
     atten_db [frames, C, 8]. Returns ([C, spec.block_in] device-rate
     samples, carry'); slots with no content transmit the filler table.
     """
-    from openbts_ttsou_tpu.gsm import l1fec
-    from openbts_ttsou_tpu.utils import constants as C
-
-    f, c = spec.frames, cfg.n_chan
-    g = frames184.shape[0]
-    gt = speech.shape[0]
-
-    # ---- XCCH leg (downlink_block_encoded's body) ---------------------
-    bursts = l1fec.xcch_encode(frames184, tsc=None)  # [G, C, 8, 4, 148]
-    xb = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, 8, 148)
-    pad = f - g * 4
-    xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    xv = jnp.pad(jnp.repeat(xcch_valid, 4, axis=0),
-                 ((0, pad), (0, 0), (0, 0)))
-
-    # ---- TCH/FS + FACCH leg -------------------------------------------
-    n = c * 8
-    tb, t_isburst, _hu, carry2 = l1fec.tch_tx_window(
-        speech.reshape(gt, n, 260), sp_valid.reshape(gt, n),
-        facch.reshape(gt, n, 184), fa_valid.reshape(gt, n),
-        carry, fn0, f)
-    tb = tb.reshape(f, c, 8, 148)
-    t_isburst = t_isburst.reshape(f, c, 8)
-    # a TCH slot transmits every burst frame of the window (speech,
-    # FACCH or coded silence) — only SACCH/idle frames fall through
-    tv = t_isburst & tch_mask[None]
-
-    bits = jnp.where(tch_mask[None, :, :, None], tb, xb)
-    valid = jnp.where(tch_mask[None], tv, xv)
-    # TSC per carrier from the SETTSC plane (both encoders left the
-    # midamble zeroed)
-    tsc_bank = jnp.asarray(np.asarray(C.TRAINING_SEQUENCE, np.uint8))
-    mid = tsc_bank[state.tsc]  # [C, 26]
-    bits = bits.at[..., 61:87].set(
-        mid[None, :, None, :].astype(bits.dtype))
-    out = downlink_block(cfg, spec, state, bits.astype(jnp.uint8),
-                         valid, atten_db, fn0)
+    bits, valid, carry2, _ = _encode_dl_window(
+        cfg, spec, state, frames184, xcch_valid, speech, sp_valid,
+        facch, fa_valid, tch_mask, carry, fn0)
+    out = downlink_block(cfg, spec, state, bits, valid, atten_db, fn0)
     return out, carry2
 
 
@@ -631,12 +833,11 @@ class WireBlock(NamedTuple):
     timing: Array  # [F, C, 8] int32 (1/256 symbol)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10))
+@functools.partial(jax.jit, static_argnums=(0, 1, 9))
 def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
                       state: eng.TrxState, ul_halo: Array, tx_tail: Array,
                       dl_bits: Array, dl_valid: Array, dl_atten: Array,
-                      tx_fn0: Array, io_i16: bool = False,
-                      exact: bool = True
+                      tx_fn0: Array, io_i16: bool = False
                       ) -> tuple[eng.TrxState, Array, Array, WireBlock]:
     """One fused streaming-duplex block: modulate + 96/65-resample the
     downlink window AND detect/demodulate the uplink window, with exact
@@ -661,19 +862,15 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     Transceiver52M/radioInterface.cpp:101-146; on TPU it is a free
     fused op and halves the PCIe bytes).
 
-    exact (static): walk the uplink window frame by frame with
-    `rx_step` — the reference's exact pullRadioVector semantics
-    (per-frame threshold walk, 50-frame channel aging) — instead of
-    the once-per-block `process_block_fast` refresh (drift envelope:
-    tests/test_fast_drift). Exact is the DEFAULT everywhere: on the
-    TPU v5e it beats the block refresh both standalone (the per-frame
-    working set tiles on-chip where the 13-frame batch streams its
-    13×-larger intermediates through HBM) and inside this duplex
-    fusion (1032 vs 854 Msps at 512 carriers, BENCH_r04_sweep.json).
-    Round 3's opposite duplex ranking was an artifact of the tx
-    frame-scan: with `tx_frames` batching the whole downlink window
-    into one modulation, the serialization that made exact lose is
-    gone. exact=False remains the opt-in throughput mode.
+    The uplink walk is ALWAYS the reference's exact pullRadioVector
+    semantics (per-frame threshold walk, 50-frame channel aging); the
+    implementation behind it is chosen by the bake-off boundary
+    (`_exact_rx`: batched `process_block_exact` at small carrier
+    counts, per-frame scan at large — identical semantics either way,
+    EXACT_BAKEOFF.json). Round 4's opt-out `exact=False` block-refresh
+    mode is gone: the batched-exact formulation dominates it at every
+    geometry with zero drift (round-2 bake-off discipline — adopt the
+    winner, delete the loser).
     """
     from openbts_ttsou_tpu.parallel.halo import resample_block
 
@@ -704,15 +901,8 @@ def duplex_block_wire(cfg: eng.TrxConfig, spec: UplinkSpec,
     lpf_rx = fir.resampler_lpf(spec.p, spec.q, spec.taps)
     sym_ul = resample_block(ul_halo, spec.p, spec.q, lpf_rx, RX_HALO_DEV,
                             spec.block_in)
-    if exact:
-        from openbts_ttsou_tpu.parallel.sharded import _slot_windows
-
-        wins = _slot_windows(sym_ul[..., : spec.block_symbols], frames)
-        state2, res = lax.scan(
-            lambda st, fr: eng.rx_step(cfg, st, fr), state, wins)
-    else:
-        state2, res = process_block_fast(cfg, frames, state,
-                                         sym_ul[..., : spec.block_symbols])
+    state2, res = _exact_rx(cfg, frames, state,
+                            sym_ul[..., : spec.block_symbols])
     soft_u8 = jnp.clip(jnp.round(res.soft_bits * 255.0), 0.0, 255.0
                        ).astype(jnp.uint8)
     wire = WireBlock(res.detected, soft_u8, res.rssi, res.timing)
@@ -759,10 +949,10 @@ def _be32(x: Array) -> Array:
     return jnp.stack(sh, axis=-1).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
                         state: eng.TrxState, io_buf: Array,
-                        tx_tail: Array, exact: bool = True
+                        tx_tail: Array
                         ) -> tuple[eng.TrxState, Array, Array]:
     """`duplex_block_wire` with single-buffer I/O both ways: io_buf is
     the 1-D uint8 buffer from `pack_dl_buffer(..., ul_i16=...)` —
@@ -789,7 +979,7 @@ def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
     state = state._replace(fn=fn0)
     state2, tx, tail2, wire = duplex_block_wire(
         cfg, spec, state, ul_i16, tx_tail, bits, valid, atten, tx_fn0,
-        True, exact)
+        True)
 
     # device-side datagram assembly (the bytes of protocol.pack_uplink;
     # driveReceiveFIFO serialization, Transceiver52M/Transceiver.cpp:
@@ -816,10 +1006,10 @@ def duplex_block_packed(cfg: eng.TrxConfig, spec: UplinkSpec,
 UL_PKT_C = UL_PKT + 2  # packed uplink row: datagram + carrier index
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1))
 def duplex_block_compact(cfg: eng.TrxConfig, spec: UplinkSpec,
                          state: eng.TrxState, io_buf: Array,
-                         tx_tail: Array, exact: bool = True
+                         tx_tail: Array
                          ) -> tuple[eng.TrxState, Array, Array, Array,
                                     Array]:
     """`duplex_block_packed` with device-side result compaction: the
@@ -855,7 +1045,7 @@ def duplex_block_compact(cfg: eng.TrxConfig, spec: UplinkSpec,
     live = io_buf[ul_end: ul_end + c] > 0  # [C]
 
     state2, tail2, out = duplex_block_packed(cfg, spec, state, io_buf,
-                                             tx_tail, exact)
+                                             tx_tail)
     a = c * spec.block_in * 4
     b = a + f * c * 8 * UL_PKT
     tx_rows = out[:a].reshape(c, spec.block_in * 4)

@@ -212,6 +212,15 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
       result:  RxResult stacked [F_total, C_total, 8, ...] sharded
                P('time', 'chan');
       clock:   [] int32 — psum'd sample count (clock-plane agreement).
+
+    mode="decoded" adds STREAMING on-device FEC: the step signature
+    becomes ``step(state_sh, samples, fn0, prev_soft, prev_valid) ->
+    (state_sh, result, clock, DecodedBlocks)`` where prev_soft is
+    [1, DECODE_PRELUDE, C_total, 8, 148] (the previous step's final
+    soft-bit tail: ``res.soft_bits[-DECODE_PRELUDE:][None]``; zeros +
+    prev_valid=False on the first step). Groups spanning time-shard
+    boundaries decode via a neighbor ppermute of soft-bit tails; the
+    step boundary rides the carried prev_soft.
     """
     n_time = mesh.shape["time"]
     n_chan_dev = mesh.shape["chan"]
@@ -223,7 +232,9 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
     state_specs = state_partition_specs()
     result_specs = eng.RxResult(*([P("time", "chan")] * 5))
 
-    def body(state_sh: eng.TrxState, samples: Array, fn0: Array):
+    def body(state_sh: eng.TrxState, samples: Array, fn0: Array,
+             prev_soft: Array | None = None,
+             prev_valid: Array | None = None):
         # drop the leading per-shard axis (size 1 locally)
         state = jax.tree.map(lambda x: x[0], state_sh)
         state0 = state
@@ -235,25 +246,17 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
             x = jnp.pad(samples,
                         [(0, 0)] * (samples.ndim - 1) + [(h, h)])
         sym = resample_block(x, spec.p, spec.q, lpf, h, spec.block_in)
-        # 2. slot windows for this shard's frames
-        wins = _slot_windows(sym, spec.frames_per_shard)  # [F, C, 8, 157]
-        # 3. advance the engine over the frames (dp over chan inside)
+        # 2. advance the engine over this shard's frames (dp over chan)
         t_idx = lax.axis_index("time")
         fn_start = fn0 + t_idx * spec.frames_per_shard
         state = state._replace(fn=(fn_start).astype(jnp.int32))
 
-        if mode in ("fast", "decoded"):
-            from openbts_ttsou_tpu.models.transceiver import (
-                process_block_fast,
-            )
+        # EXACT per-frame semantics in every mode; implementation
+        # chosen by the bake-off boundary (models/transceiver._exact_rx)
+        from openbts_ttsou_tpu.models.transceiver import _exact_rx
 
-            state, results = process_block_fast(
-                cfg_local, spec.frames_per_shard, state, sym)
-        else:
-            def frame_step(st, frame):
-                return eng.rx_step(cfg_local, st, frame)
-
-            state, results = lax.scan(frame_step, state, wins)
+        state, results = _exact_rx(cfg_local, spec.frames_per_shard,
+                                   state, sym)
         # 4. cross-time-shard state carry: merge the adaptive state so
         # every shard starts the next step from the stream-end state
         if carry_state and collectives:
@@ -267,21 +270,45 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
         else:
             clock = jnp.asarray(samples.shape[-1] * n_time, jnp.int32)
         if mode == "decoded":
-            # 5. on-device FEC per shard (decode_block): XCCH groups +
-            # RACH, stacked along the time axis like the results
-            from openbts_ttsou_tpu.models.transceiver import decode_block
+            # 5. STREAMING on-device FEC per shard (decode_block with
+            # the soft-bit prelude): FEC groups spanning shard
+            # boundaries decode too. Shard t's prelude is shard t−1's
+            # soft-bit tail — one neighbor ppermute hop along the time
+            # ring — and shard 0's is the PREVIOUS STEP's final tail
+            # (the carried `prev_soft`), so the carry genuinely crosses
+            # both shard and step boundaries (the reference's
+            # persistent per-burst mI[] semantics, GSML1FEC.cpp:
+            # 572-630, 1031-1100, restored on the sharded path).
+            from openbts_ttsou_tpu.models.transceiver import (
+                DECODE_PRELUDE,
+                decode_block,
+            )
 
+            tail = results.soft_bits[-DECODE_PRELUDE:]
+            if collectives and n_time > 1:
+                shifted = lax.ppermute(
+                    tail, "time",
+                    [(i, i + 1) for i in range(n_time - 1)])
+            else:
+                shifted = jnp.zeros_like(tail)
+            prelude = jnp.where(t_idx == 0, prev_soft[0], shifted)
+            pvalid = jnp.where(t_idx == 0, prev_valid, True)
             dec = decode_block(results, fn_start,
-                               spec.frames_per_shard)
+                               spec.frames_per_shard,
+                               prev_soft=prelude, prev_valid=pvalid)
             dec = dec._replace(first_fn=dec.first_fn[None])
             return (jax.tree.map(lambda x: x[None], state), results,
                     clock, dec)
         return (jax.tree.map(lambda x: x[None], state), results, clock)
 
     out_specs = (state_specs, result_specs, P())
+    in_specs = (state_specs, P("chan", "time"), P())
     if mode == "decoded":
         from openbts_ttsou_tpu.models.transceiver import DecodedBlocks
 
+        # prev_soft carries a leading [1] axis replicated over time so
+        # each shard can address it uniformly; chan stays sharded
+        in_specs = in_specs + (P(None, None, "chan"), P())
         out_specs = out_specs + (DecodedBlocks(
             bits=P("time", "chan"), ok=P("time", "chan"),
             first_fn=P("time"), rach_ra=P("time", "chan"),
@@ -292,7 +319,7 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
             tch_valid=P("time")),)
     mapped = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(state_specs, P("chan", "time"), P()),
+        in_specs=in_specs,
         out_specs=out_specs,
         check_vma=False,
     )
@@ -350,20 +377,10 @@ def sharded_duplex_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                         [(0, 0)] * (samples.ndim - 1) + [(h, h)])
         sym = resample_block(x, spec.p, spec.q, lpf, h, spec.block_in)
         state = state._replace(fn=fn_start)
-        if mode == "fast":
-            from openbts_ttsou_tpu.models.transceiver import (
-                process_block_fast,
-            )
+        from openbts_ttsou_tpu.models.transceiver import _exact_rx
 
-            state, results = process_block_fast(
-                cfg_local, spec.frames_per_shard, state, sym)
-        else:
-            wins = _slot_windows(sym, spec.frames_per_shard)
-
-            def frame_step(st, frame):
-                return eng.rx_step(cfg_local, st, frame)
-
-            state, results = lax.scan(frame_step, state, wins)
+        state, results = _exact_rx(cfg_local, spec.frames_per_shard,
+                                   state, sym)
         if carry_state and collectives:
             state = _merge_time_shards(
                 state0, state, fn0, n_time * spec.frames_per_shard)

@@ -354,19 +354,15 @@ class BlockTrxDaemon(TrxDaemon):
 
     def __init__(self, radio, cfg: TrxDaemonConfig = TrxDaemonConfig(),
                  block_frames: int = 13, pipeline_depth: int = 1,
-                 exact: bool = True, compact: bool = True):
+                 compact: bool = True):
         from openbts_ttsou_tpu.models.transceiver import UplinkSpec
 
         super().__init__(radio, cfg)
-        #: per-frame rx_step scan (the reference's exact pullRadioVector
-        #: semantics) vs the once-per-block `process_block_fast`
-        #: refresh. Since the tx leg became one batched modulation
-        #: (eng.tx_frames), exact mode WINS inside the duplex fusion
-        #: (1032 vs 854 Msps at 512 carriers, BENCH_r04_sweep.json), so
-        #: the daemon defaults to the reference's per-frame semantics;
-        #: exact=False opts into the throughput-block refresh (drift
-        #: envelope: tests/test_fast_drift.py)
-        self.exact = exact
+        # The uplink is ALWAYS the reference's exact pullRadioVector
+        # semantics; models/transceiver._exact_rx picks the fastest
+        # implementation for the carrier count (EXACT_BAKEOFF.json).
+        # The round-4 exact/fast mode switch is gone — batched-exact
+        # dominates the approximate block-refresh at every geometry.
         assert block_frames % 13 == 0, \
             "65/96 streaming needs 13-frame multiples"
         self.spec = UplinkSpec(frames=block_frames)
@@ -587,7 +583,7 @@ class BlockTrxDaemon(TrxDaemon):
                                          self.tx_fn, ul, live)
             st, tail, hdr, tx_buf, pkt_buf = duplex_block_compact(
                 self.engine_cfg, self.spec, self.state,
-                jnp.asarray(io_buf), self._tx_tail, self.exact)
+                jnp.asarray(io_buf), self._tx_tail)
             pend = ((hdr, tx_buf, pkt_buf), np.asarray(live, bool),
                     self._cacheable.copy(), self._tx_block)
         else:
@@ -598,7 +594,7 @@ class BlockTrxDaemon(TrxDaemon):
             # datagrams itself (duplex_block_packed)
             st, tail, out = duplex_block_packed(
                 self.engine_cfg, self.spec, self.state,
-                jnp.asarray(io_buf), self._tx_tail, self.exact)
+                jnp.asarray(io_buf), self._tx_tail)
             pend = (out, self.fn, self._tx_block)
         self.state, self._tx_tail = st, tail
         self._pending.append(pend)

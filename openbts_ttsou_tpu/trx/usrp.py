@@ -343,6 +343,8 @@ class SocketBus(Bus):
         import socket
 
         self.carrier = carrier
+        self.tx_bytes = 0  # bytes sent over the bus (requests)
+        self.rx_bytes = 0  # bytes received (responses)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         self._sock.settimeout(timeout_s)
         self._sock.connect(path)
@@ -350,8 +352,10 @@ class SocketBus(Bus):
     def _rpc(self, op: bytes, payload: bytes = b"") -> bytes:
         self._sock.sendall(op + struct.pack("<HI", self.carrier,
                                             len(payload)) + payload)
+        self.tx_bytes += 7 + len(payload)
         hdr = self._recv_exact(4)
         (n,) = struct.unpack("<I", hdr)
+        self.rx_bytes += 4 + n
         return self._recv_exact(n)
 
     def _recv_exact(self, n: int) -> bytes:

@@ -240,13 +240,11 @@ def test_block_daemon_over_the_wire(wire_scenario):
     assert daemon.stale_dumped > stale_before
 
 
-def test_duplex_exact_uplink_matches_uplink_block():
-    """duplex_block_wire(exact=True) — the default since the tx leg
-    became one batched modulation (it now also measures fastest,
-    BENCH_r04_sweep.json) — must produce the SAME uplink results and
-    end state as the standalone per-frame uplink_block on the
-    identical device-rate stream: the duplex fusion changes the
-    program shape, not the engine semantics."""
+def test_duplex_uplink_matches_uplink_block():
+    """duplex_block_wire must produce the SAME uplink results and end
+    state as the standalone uplink_block on the identical device-rate
+    stream: the duplex fusion changes the program shape, not the
+    (always-exact) engine semantics."""
     from openbts_ttsou_tpu.models.transceiver import uplink_block
 
     n = 2
@@ -281,7 +279,7 @@ def test_duplex_exact_uplink_matches_uplink_block():
     st_b, _tx, _tail, wire = duplex_block_wire(
         cfg, spec, state, jnp.asarray(ul_halo),
         jnp.zeros((n, TX_TAIL_SYM), jnp.complex64), dl_bits, dl_valid,
-        dl_atten, jnp.asarray(0, jnp.int32), False, True)
+        dl_atten, jnp.asarray(0, jnp.int32), False)
 
     det_a = np.asarray(res_a.detected)
     assert det_a[:, :, 1].all()  # every frame's slot 1 fired

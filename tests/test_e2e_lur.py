@@ -122,6 +122,10 @@ def rig():
     # channel-recycling timers out of the way
     app.bts.config.set("GSM.Timer.T3101", "600000")
     app.bts.config.set("GSM.Timer.T3109", "600000")
+    # the simulated radio pumps one frame per step: shrink the T3111
+    # drain deadline (frames) so channels left mid-release by earlier
+    # module tests recycle within a short preamble pump
+    app.bts.config.set("GSM.Timer.T3111", "300")
     app.bts.clock = DaemonClock(daemon)
     for ch in app.dcch:
         ch.l1.clock = app.bts.clock.fn
@@ -149,6 +153,34 @@ def pump(app, daemon, frames=1):
     for _ in range(frames):
         daemon.step()
         app.step()
+
+
+@pytest.fixture(autouse=True)
+def _reclaim_channels(rig):
+    """Each OTA scenario is independent (fresh RACH); tests routinely
+    end mid-release (the simulated MS stops acking once it has what it
+    asserts on), so reclaim every dedicated channel afterwards —
+    otherwise leaked SDCCHs exhaust the pool for later module tests."""
+    yield
+    app, daemon, radio, sip_out = rig
+    ctl = app.control
+    for ch in list(app.dcch) + list(app.bts.tch_pool):
+        ch.l1.close()
+        if getattr(ch, "sacch", None) is not None:
+            ch.sacch.close()
+        if hasattr(ch, "reset"):
+            ch.reset()
+        app.bts.release(ch)
+    ctl.channel_transactions.clear()
+    ctl.pending_release.clear()
+    for t in list(ctl.transactions.entries()):
+        v = getattr(t, "voice", None)
+        if v is not None and hasattr(v, "close"):
+            v.close()
+        if t.sip is not None:
+            t.sip.close()
+        ctl.transactions.remove(t.id)
+    sip_out.clear()
 
 
 def test_over_the_air_location_update(rig):
@@ -1120,6 +1152,13 @@ def test_over_the_air_lur_delivers_shortname(rig):
     transmitted feature."""
     app, daemon, radio, sip_out = rig
     sip_out.clear()
+    # clear stragglers from earlier module tests: deferred releases
+    # hard-release at the T3111 deadline under pumping
+    for _ in range(200):
+        if app.bts.sdcch_available() == app.bts.sdcch_total() and \
+                not app.control.pending_release:
+            break
+        pump(app, daemon)
     app.bts.config.set("GSM.ShortName", "TPUNet")
     try:
         ms = MS(radio, daemon, app.bts.bcc)
@@ -1209,6 +1248,13 @@ def test_over_the_air_emergency_call_progress_and_hold(rig):
 
     app, daemon, radio, sip_out = rig
     sip_out.clear()
+    # clear stragglers from earlier module tests: deferred releases
+    # hard-release at the T3111 deadline under pumping
+    for _ in range(200):
+        if app.bts.sdcch_available() == app.bts.sdcch_total() and \
+                not app.control.pending_release:
+            break
+        pump(app, daemon)
     app.bts.config.set("PBX.Emergency", "112")
     ms = MS(radio, daemon, app.bts.bcc)
 

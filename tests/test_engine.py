@@ -429,11 +429,11 @@ def test_rach_slots_excluded_slot_no_threshold_miss():
     # threshold may fall (quiet decay) but must never be bumped +10
     assert float(np.asarray(state.energy_threshold)[0]) <= thr0
 
-    # block mode: same contract
-    from openbts_ttsou_tpu.models.transceiver import process_block_fast
+    # batched-exact block mode: same contract
+    from openbts_ttsou_tpu.models.transceiver import process_block_exact
 
     state_b = init_state(cfg)._replace(chan_type=jnp.asarray(chan_type))
     sym = np.zeros((1, 13 * 1250), np.complex64)
     sym[0, 4 * 157: 4 * 157 + len(rb)] = rb  # slot 4 of frame 0
-    state_b2, _ = process_block_fast(cfg, 13, state_b, jnp.asarray(sym))
+    state_b2, _ = process_block_exact(cfg, 13, state_b, jnp.asarray(sym))
     assert float(np.asarray(state_b2.energy_threshold)[0]) <= thr0

@@ -410,3 +410,138 @@ def test_streaming_decode_recovers_boundary_spanning_groups():
     for kind, payload in sent:
         assert any(k == kind and np.array_equal(v, payload)
                    for k, v, _ in got), f"{kind} frame lost"
+
+
+def test_duplex_decoded_fully_resident_roundtrip():
+    """duplex_block_decoded: the fully-resident L1 — TCH/FS + FACCH +
+    XCCH encode AND streaming decode in ONE device program per block.
+    Pass 1 drives the duplex's tx leg with real content (XCCH groups on
+    the ABSOLUTE FN%4 grid via the streaming tx carry, TCH/FACCH via
+    the diagonal carry); the resulting device-rate stream is looped
+    back as pass 2's uplink, and every frame must be recovered exactly
+    once through the rx soft-bit prelude — L2/vocoder frames are the
+    ONLY content that crosses the host boundary in either direction."""
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        RX_HALO_DEV,
+        TX_TAIL_SYM,
+        UplinkSpec,
+        XcchTxCarry,
+        duplex_block_decoded,
+    )
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(31)
+    cfg = eng.TrxConfig(n_chan=1)
+    spec = UplinkSpec()
+    state = eng.init_state(cfg)
+    rev = tdma.FACCH_TCHF.reverse_map()
+    fn0 = int(np.where(rev == 0)[0][0])
+    while fn0 % 4:
+        fn0 += 26
+    tch_mask = np.zeros((1, 8), bool)
+    tch_mask[0, 2] = True
+    chan_type = np.zeros((1, 8), np.int32)
+    chan_type[0, 2] = eng.ChanType.I
+    chan_type[0, 4] = eng.ChanType.I  # XCCH slot
+    state = state._replace(chan_type=jnp.asarray(chan_type))
+
+    n_win = 4
+    atten = jnp.zeros((13, 1, 8), np.float32)
+    b = spec.block_in
+
+    # --- per-window content: TCH dispatches + absolute-grid XCCH ------
+    sent_tch, sent_xcch, contents, phases = [], [], [], []
+    for w in range(n_win + 1):
+        fnw = fn0 + 13 * w
+        phase = fnw % 4
+        off = (-phase) % 4
+        sp = np.zeros((3, 1, 8, 260), np.uint8)
+        spv = np.zeros((3, 1, 8), bool)
+        fa = np.zeros((3, 1, 8, 184), np.uint8)
+        fav = np.zeros((3, 1, 8), bool)
+        xcch = np.zeros((4, 1, 8, 184), np.uint8)
+        xv = np.zeros((4, 1, 8), bool)
+        if w < n_win:
+            for j in range(3):
+                if (w + j) % 2:
+                    d = rng.integers(0, 2, 184).astype(np.uint8)
+                    fa[j, 0, 2], fav[j, 0, 2] = d, True
+                    sent_tch.append(("f", d))
+                else:
+                    d = rng.integers(0, 2, 260).astype(np.uint8)
+                    sp[j, 0, 2], spv[j, 0, 2] = d, True
+                    sent_tch.append(("s", d))
+            # groups whose START lies inside this window (off+4g ≤ 12)
+            for g in range((12 - off) // 4 + 1):
+                x = rng.integers(0, 2, 184).astype(np.uint8)
+                xcch[g, 0, 4], xv[g, 0, 4] = x, True
+                sent_xcch.append(x)
+        contents.append(tuple(jnp.asarray(a) for a in
+                              (xcch, xv, sp, spv, fa, fav, tch_mask)))
+        phases.append(phase)
+
+    def drive(get_ul):
+        st = state._replace(fn=jnp.asarray(fn0, jnp.int32))
+        tx_tail = jnp.zeros((1, TX_TAIL_SYM), jnp.complex64)
+        tx_carry = (l1fec.TchTxCarry.zeros(8), XcchTxCarry.zeros(1))
+        prev = jnp.zeros((DECODE_PRELUDE, 1, 8, 148), jnp.float32)
+        pvalid = jnp.asarray(False)
+        txs, all_blocks = [], []
+        for w in range(n_win + 1):
+            st = st._replace(fn=jnp.asarray(fn0 + 13 * w, jnp.int32))
+            (st, tx, tx_tail, blocks, tx_carry, prev,
+             pvalid) = duplex_block_decoded(
+                cfg, spec, st, get_ul(w), tx_tail, contents[w], atten,
+                tx_carry, jnp.asarray(fn0 + 13 * w, jnp.int32), prev,
+                pvalid, 0, phases[w])
+            txs.append(np.asarray(tx))
+            all_blocks.append(blocks)
+        return txs, all_blocks
+
+    # --- pass 1: generate the air stream (uplink is silence) ----------
+    zero_ul = jnp.zeros((1, b + 2 * RX_HALO_DEV), jnp.complex64)
+    txs, _ = drive(lambda w: zero_ul)
+
+    # tx covers device timestamps TX_DELAY_DEV early (the daemon
+    # writes block w at w·block_in − TX_DELAY_DEV); with RX_HALO_DEV ==
+    # TX_DELAY_DEV the plain concatenation IS the halo'd rx input
+    # stream: ul_halo(w) = air[w·b : (w+1)·b + 2·RX_HALO_DEV]
+    air = np.concatenate(
+        [t / cfg.tx_full_scale * 9000.0 for t in txs]
+        + [np.zeros((1, 2 * RX_HALO_DEV), np.complex64)], axis=-1)
+
+    # --- pass 2: decode the duplex's own stream -----------------------
+    _, all_blocks = drive(
+        lambda w: jnp.asarray(air[:, w * b: (w + 1) * b
+                                  + 2 * RX_HALO_DEV]))
+
+    got, got_x = [], []
+    for blocks in all_blocks:
+        tg = np.asarray(blocks.tch_good)
+        fo = np.asarray(blocks.facch_ok)
+        ef = np.asarray(blocks.tch_end_fn)
+        for gi in range(tg.shape[0]):
+            if tg[gi, 0, 2]:
+                got.append(("s", np.asarray(blocks.tch_speech)[gi, 0, 2],
+                            int(ef[gi])))
+            if fo[gi, 0, 2]:
+                got.append(("f", np.asarray(blocks.facch_bits)[gi, 0, 2],
+                            int(ef[gi])))
+        ok = np.asarray(blocks.ok)[:, 0, 4]
+        bts = np.asarray(blocks.bits)[:, 0, 4]
+        for gi in np.flatnonzero(ok):
+            got_x.append(bts[gi])
+
+    # every TCH/FACCH frame recovered exactly once
+    end_fns = [g[2] for g in got]
+    assert len(end_fns) == len(set(end_fns)), "group decoded twice"
+    assert len(got) == len(sent_tch), (len(got), len(sent_tch))
+    for kind, payload in sent_tch:
+        assert any(k == kind and np.array_equal(v, payload)
+                   for k, v, _ in got), f"{kind} frame lost"
+    # every XCCH frame recovered exactly once (boundary-spanning groups
+    # ride the tx carry out and the rx prelude back)
+    assert len(got_x) == len(sent_xcch), (len(got_x), len(sent_xcch))
+    for x in sent_xcch:
+        assert any(np.array_equal(g, x) for g in got_x), "XCCH lost"

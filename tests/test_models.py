@@ -99,11 +99,14 @@ def test_transceiver_wrapper_control_verbs():
     assert int(trx.state.fn) == 1
 
 
-def test_uplink_block_fast_matches_exact():
-    """Throughput mode must match the exact per-frame scan when no DFE
-    state evolves (max_expected_delay=0), and recover the same bursts
-    when it does."""
-    from openbts_ttsou_tpu.models.transceiver import uplink_block_fast
+def test_uplink_block_batched_exact_recovers_bursts():
+    """The batched-exact engine (the ≤128-carrier dispatch of
+    uplink_block) recovers planted bursts and matches the per-frame
+    scan exactly (full equality matrix: tests/test_exact_block.py)."""
+    from openbts_ttsou_tpu.models.transceiver import process_block_exact
+    from openbts_ttsou_tpu.parallel.sharded import _slot_windows
+    import jax.lax as lax
+    from openbts_ttsou_tpu.trx import engine as _eng
 
     cfg = TrxConfig(n_chan=2)
     spec = UplinkSpec(frames=13)
@@ -124,8 +127,13 @@ def test_uplink_block_fast_matches_exact():
         jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
     dev = jnp.asarray(dev[:, : spec.block_in])
 
-    st_a, res_a = uplink_block(cfg, spec, state, dev)
-    st_b, res_b = uplink_block_fast(cfg, spec, state, dev)
+    st_a, res_a = uplink_block(cfg, spec, state, dev)  # batched (C=2)
+    lpf = fir.resampler_lpf(65, 96, 961)
+    sym_d = fir.polyphase_resample(dev, 65, 96, lpf)[
+        ..., : spec.block_symbols]
+    wins = _slot_windows(sym_d, spec.frames)
+    st_b, res_b = lax.scan(
+        lambda st, fr: _eng.rx_step(cfg, st, fr), state, wins)
     np.testing.assert_array_equal(np.asarray(res_a.detected),
                                   np.asarray(res_b.detected))
     np.testing.assert_allclose(np.asarray(res_a.soft_bits),

@@ -301,7 +301,7 @@ def test_distributed_helpers_single_process():
     assert cs == slice(0, 8) and ts == slice(0, 4)
 
 
-def test_sharded_pipeline_fast_mode():
+def test_sharded_pipeline_exact_engine():
     mesh = make_mesh(4)
     n_time = mesh.shape["time"]
     cfg = TrxConfig(n_chan=2)
@@ -317,10 +317,109 @@ def test_sharded_pipeline_fast_mode():
     dev = np.asarray(fir.polyphase_resample(
         jnp.asarray(sym), 96, 65, fir.resampler_lpf(96, 65, 651)))
     dev = jnp.asarray(dev[:, : n_time * spec.block_in])
-    step = sharded_uplink_pipeline(mesh, cfg, spec, mode="fast")
+    step = sharded_uplink_pipeline(mesh, cfg, spec)
     st, res, clock = step(state_for_shards(state, n_time), dev,
                           jnp.asarray(0, jnp.int32))
     det = np.asarray(res.detected)
     hits = sum(bool(det[f, c, 1]) for f in range(2, n_time * 13 - 1, 4)
                for c in range(2))
     assert hits >= 10, hits
+
+
+def test_sharded_streaming_decode_spanning_groups():
+    """Time-sharded STREAMING FEC decode: TCH/FS + FACCH groups whose
+    8-burst diagonals span time-SHARD boundaries (and the STEP
+    boundary) decode exactly once — the soft-bit prelude rides a
+    neighbor ppermute within the step and the carried prev_soft across
+    steps (the reference's persistent mI[] semantics, GSML1FEC.cpp:
+    572-630, 1031-1100, on the sharded path)."""
+    from openbts_ttsou_tpu.gsm import l1fec, tdma
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        UplinkSpec,
+        downlink_block_tch,
+    )
+
+    mesh = make_mesh(4)  # (chan 2, time 2)
+    n_time = mesh.shape["time"]
+    n_chan = mesh.shape["chan"]  # 1 carrier per chan shard
+    rng = np.random.default_rng(41)
+    cfg = TrxConfig(n_chan=n_chan)
+    uspec = UplinkSpec()
+    spec = ShardedPipelineSpec(n_chan_total=n_chan, frames_per_shard=13)
+    rev = tdma.FACCH_TCHF.reverse_map()
+    fn0 = int(np.where(rev == 0)[0][0])
+    while fn0 % 4:
+        fn0 += 26
+    tch_mask = np.zeros((n_chan, 8), bool)
+    tch_mask[:, 2] = True
+    ct = np.zeros((n_chan, 8), np.int32)
+    ct[:, 2] = ChanType.I
+    state = init_state(cfg)._replace(chan_type=jnp.asarray(ct))
+
+    # generate the air stream window-by-window via the windowed TCH
+    # downlink encoder (13-frame windows = one per time shard)
+    n_steps = 2
+    n_win = n_steps * n_time + 1  # one flush window
+    sent = []
+    carry = l1fec.TchTxCarry.zeros(n_chan * 8)
+    xcch = jnp.zeros((3, n_chan, 8, 184), jnp.uint8)
+    xv = jnp.zeros((3, n_chan, 8), bool)
+    atten = jnp.zeros((13, n_chan, 8), np.float32)
+    devs = []
+    for w in range(n_win):
+        sp = np.zeros((3, n_chan, 8, 260), np.uint8)
+        spv = np.zeros((3, n_chan, 8), bool)
+        fa = np.zeros((3, n_chan, 8, 184), np.uint8)
+        fav = np.zeros((3, n_chan, 8), bool)
+        for j in range(3 if w < n_win - 1 else 0):
+            d = rng.integers(0, 2, 260).astype(np.uint8)
+            sp[j, :, 2], spv[j, :, 2] = d, True
+            sent.append(d)
+        dev, carry = downlink_block_tch(
+            cfg, uspec, state, xcch, xv, jnp.asarray(sp),
+            jnp.asarray(spv), jnp.asarray(fa), jnp.asarray(fav),
+            jnp.asarray(tch_mask), atten, carry,
+            jnp.asarray(fn0 + 13 * w, jnp.int32))
+        devs.append(np.asarray(dev) / cfg.tx_full_scale * 9000.0)
+    stream = np.concatenate(devs, axis=-1)
+
+    step = sharded_uplink_pipeline(mesh, cfg, spec, mode="decoded")
+    st_sh = state_for_shards(
+        state._replace(fn=jnp.asarray(fn0, jnp.int32)), n_time)
+    prev = jnp.zeros((1, DECODE_PRELUDE, n_chan, 8, 148), jnp.float32)
+    pvalid = jnp.asarray(False)
+    got = []
+    # 2 steps of n_time shards + the flush window via a final step
+    # padded with silence
+    pad = np.zeros((n_chan, (n_time - 1) * spec.block_in), np.complex64)
+    windows = [stream[:, k * n_time * spec.block_in:
+                      (k + 1) * n_time * spec.block_in]
+               for k in range(n_steps)]
+    windows.append(np.concatenate(
+        [devs[-1] * 0 + stream[:, n_steps * n_time * spec.block_in:],
+         pad], axis=-1))
+    for k, win in enumerate(windows):
+        fnk = fn0 + 13 * n_time * k
+        st_sh = jax.tree.map(
+            lambda x: x, st_sh)  # keep sharding
+        st_sh, res, clock, dec = step(
+            st_sh, jnp.asarray(win), jnp.asarray(fnk, jnp.int32),
+            prev, pvalid)
+        prev = res.soft_bits[-DECODE_PRELUDE:][None]
+        pvalid = jnp.asarray(True)
+        tg = np.asarray(dec.tch_good)
+        ef = np.asarray(dec.tch_end_fn)
+        for gi in range(tg.shape[0]):
+            for c in range(n_chan):
+                if tg[gi, c, 2]:
+                    got.append((c, np.asarray(dec.tch_speech)[gi, c, 2],
+                                int(ef.reshape(-1)[gi])))
+    # every sent frame decoded exactly once per carrier
+    for c in range(n_chan):
+        end_fns = [g[2] for g in got if g[0] == c]
+        assert len(end_fns) == len(set(end_fns)), "group decoded twice"
+        assert len(end_fns) == len(sent), (c, len(end_fns), len(sent))
+        for payload in sent:
+            assert any(np.array_equal(v, payload)
+                       for cc, v, _ in got if cc == c), "frame lost"

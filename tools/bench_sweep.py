@@ -21,10 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_one(mode: str, carriers: int, iters: int,
-            max_toa: int = 0, duplex_exact: bool = False) -> dict:
+            max_toa: int = 0) -> dict:
     env = dict(os.environ, BENCH_MODE=mode, BENCH_CHANNELS=str(carriers),
-               BENCH_ITERS=str(iters), BENCH_MAX_TOA=str(max_toa),
-               BENCH_DUPLEX_EXACT="1" if duplex_exact else "0")
+               BENCH_ITERS=str(iters), BENCH_MAX_TOA=str(max_toa))
     try:
         p = subprocess.run([sys.executable,
                             os.path.join(REPO, "bench.py")],
@@ -43,50 +42,47 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO,
-                                                  "BENCH_r04_sweep.json"))
+                                                  "BENCH_r05_sweep.json"))
     args = ap.parse_args()
 
     if args.quick:
-        grid = [(m, 128, 0, False) for m in ("fast", "exact", "decoded",
-                                             "downlink", "duplex")] + \
-            [("duplex", 128, 0, True)]
+        grid = [(m, 128, 0) for m in ("exact", "decoded", "downlink",
+                                      "duplex", "duplex_decoded")]
     else:
-        grid = ([(m, c, 0, False) for m in ("fast", "exact")
-                 for c in (128, 512, 1024)]
-                + [("decoded", 128, 0, False), ("decoded", 512, 0, False),
-                   ("downlink", 128, 0, False),
-                   ("downlink", 512, 0, False),
-                   ("downlink", 1024, 0, False)]
-                # BOTH duplex submodes at every carrier count: the
-                # daemon's default must be backed by artifact rows,
-                # not prose (round-3 verdict, missing #3)
-                + [("duplex", c, 0, ex) for c in (128, 512, 1024)
-                   for ex in (False, True)]
+        # round 5: fast mode is deleted (dominated by batched-exact at
+        # every geometry, EXACT_BAKEOFF.json); every uplink/duplex row
+        # is exact semantics. duplex_decoded = the fully-resident L1
+        # (FEC both directions in-program) at every carrier count.
+        grid = ([("exact", c, 0) for c in (8, 128, 512, 1024)]
+                + [("decoded", 128, 0), ("decoded", 512, 0),
+                   ("decoded", 1024, 0),
+                   ("downlink", 128, 0),
+                   ("downlink", 512, 0),
+                   ("downlink", 1024, 0)]
+                + [("duplex", c, 0) for c in (8, 128, 512, 1024)]
+                + [("duplex_decoded", c, 0) for c in (128, 512, 1024)]
                 # the SETMAXDELAY windowed TSC correlation
-                + [("fast", 1024, 4, False), ("exact", 1024, 4, False)])
+                + [("exact", 1024, 4)])
 
     results = []
-    for mode, carriers, max_toa, duplex_exact in grid:
+    for mode, carriers, max_toa in grid:
         # keep the timed span well above bench.py's noise guard
         # (dt > 0.02 s): the exact engine and the downlink chain run
         # fast enough at ≤128 carriers that 8 iters is only ~20 ms
         iters = 8 if carriers <= 256 else 4
         if carriers <= 128:  # every chain clears ~25 ms of overhead
             iters = 32 if mode in ("exact", "decoded", "downlink") else 24
-        print(f"[sweep] {mode}{'-exact' if duplex_exact else ''} @ "
-              f"{carriers} max_toa={max_toa}...",
+        print(f"[sweep] {mode} @ {carriers} max_toa={max_toa}...",
               file=sys.stderr, flush=True)
         # a wedged relay attachment never recovers in-process; a fresh
         # bench.py subprocess does (same pattern as daemon_soak)
         for attempt in range(3):
-            r = run_one(mode, carriers, iters, max_toa, duplex_exact)
+            r = run_one(mode, carriers, iters, max_toa)
             if "error" not in r and r.get("value"):
                 break
             print(f"[sweep]   attempt {attempt} failed; retrying",
                   file=sys.stderr, flush=True)
         r["mode"], r["carriers"] = mode, carriers
-        if duplex_exact:
-            r["duplex_exact"] = True
         if max_toa:
             r["max_toa"] = max_toa
         results.append(r)

@@ -85,7 +85,8 @@ def main():
                     "bigger blocks amortize per-transfer latency at "
                     "the cost of block latency (the reference's chunk-"
                     "size knob, radioInterface.h:40-41)")
-    ap.add_argument("--exact", type=int, default=1,
+    ap.add_argument("--exact", type=int, default=1,  # retained for
+                    # sweep-script compat; the daemon is always exact
                     help="1 = reference per-frame rx semantics (the "
                     "daemon default), 0 = once-per-block refresh")
     ap.add_argument("--compact", type=int, default=1,
@@ -98,6 +99,14 @@ def main():
                     help="carriers receiving live downlink bursts "
                     "(-1 = all; fewer leaves the rest on the filler "
                     "table, engaging tx-row suppression)")
+    ap.add_argument("--bus", choices=("replay", "socket"),
+                    default="replay",
+                    help="radio backing: 'replay' = in-process sample "
+                    "bank; 'socket' = USRPBankRadio over SocketBus to "
+                    "a bus-server SUBPROCESS — the configuration "
+                    "closest to real hardware (every sample crosses "
+                    "the process/transport seam where libusb sits, "
+                    "USRPDevice.cpp:318-505)")
     args = ap.parse_args()
 
     import jax
@@ -116,14 +125,45 @@ def main():
     from openbts_ttsou_tpu.utils.gsm_time import HYPERFRAME
 
     n = args.carriers
-    log(f"devices={jax.devices()} carriers={n} blocks={args.blocks}")
+    log(f"devices={jax.devices()} carriers={n} blocks={args.blocks} "
+        f"bus={args.bus}")
     log("building uplink bank")
     bf = args.block_frames
-    bank = ReplayBankRadio(build_uplink_bank(n, 4 * bf, args.ul_slots))
+    buses = None
+    srv = None
+    if args.bus == "socket":
+        import subprocess
+        import tempfile
+
+        from openbts_ttsou_tpu.trx.usrp import (
+            SocketBus,
+            USRPBankRadio,
+            USRPRadio,
+        )
+
+        cplx = build_uplink_bank(1, 4 * bf, args.ul_slots)[0]
+        stim = np.clip(np.stack([cplx.real, cplx.imag], -1).round(),
+                       -32767, 32767).astype(np.int16)
+        tmpd = tempfile.mkdtemp(prefix="soakbus_")
+        np.save(os.path.join(tmpd, "stim.npy"), stim)
+        sock = os.path.join(tmpd, "usrp.sock")
+        srv = subprocess.Popen(
+            [sys.executable, "-m", "openbts_ttsou_tpu.trx.bus_server",
+             "--socket", sock, "--carriers", str(n), "--hw-delay", "0",
+             "--stimulus", os.path.join(tmpd, "stim.npy")])
+        for _ in range(200):
+            if os.path.exists(sock):
+                break
+            time.sleep(0.05)
+        buses = [SocketBus(sock, carrier=c) for c in range(n)]
+        bank = USRPBankRadio([USRPRadio(b) for b in buses])
+    else:
+        bank = ReplayBankRadio(build_uplink_bank(n, 4 * bf,
+                                                 args.ul_slots))
     daemon = BlockTrxDaemon(
         bank, TrxDaemonConfig(base_port=args.base_port, n_arfcn=n),
         block_frames=args.block_frames, pipeline_depth=args.depth,
-        exact=bool(args.exact), compact=bool(args.compact))
+        compact=bool(args.compact))
     n_dl = n if args.dl_carriers < 0 else min(args.dl_carriers, n)
 
     peer = args.base_port + 100
@@ -223,12 +263,30 @@ def main():
                 daemon.d2h_bytes / max(total_blocks, 1)),
             "d2h_bytes_per_block_dense": round(
                 daemon.d2h_bytes_dense / max(total_blocks, 1)),
+            "bus": args.bus,
+            "block_frames": bf,
+            "depth": args.depth,
+            **({"bus_tx_MB": round(sum(b.tx_bytes for b in buses)
+                                   / 1e6, 2),
+                "bus_rx_MB": round(sum(b.rx_bytes for b in buses)
+                                   / 1e6, 2),
+                "bus_MBps": round(sum(b.tx_bytes + b.rx_bytes
+                                      for b in buses)
+                                  / max(t_timed, 1e-9) / 1e6, 1)}
+               if buses else {}),
             "device": str(jax.devices()[0]),
         },
     }
+    if srv is not None:
+        srv.terminate()
+        srv.wait(timeout=10)
     # sanity: uplink detections must actually flow at scale
-    assert ul_pkts >= expected_det_per_block * (args.blocks - 2), \
-        f"uplink starved: {ul_pkts}"
+    need = expected_det_per_block * (args.blocks - 2)
+    if args.bus == "socket":
+        # the SimBus stream starts at the hardware's own ts origin;
+        # alignment settles within a few blocks
+        need = expected_det_per_block * max(args.blocks // 2, 1)
+    assert ul_pkts >= need, f"uplink starved: {ul_pkts} < {need}"
     print(json.dumps(result))
 
 

@@ -51,14 +51,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from openbts_ttsou_tpu.models.transceiver import (UplinkSpec,
-                                                      uplink_block,
-                                                      uplink_block_fast)
+                                                      uplink_block)
     from openbts_ttsou_tpu.trx import ChanType, TrxConfig, init_state
     from openbts_ttsou_tpu.utils.xfer import device_put_safe
 
-    mode = os.environ.get("BENCH_MODE", "fast")
+    mode = os.environ.get("BENCH_MODE", "exact")
     max_toa = int(os.environ.get("BENCH_MAX_TOA", "0")) or None
-    block_fn = {"fast": uplink_block_fast, "exact": uplink_block}[mode]
+    block_fn = {"exact": uplink_block}[mode]
     spec = UplinkSpec(frames=13)
 
     # measured seconds-per-block from the sweep artifact, if present
