@@ -108,12 +108,11 @@ def log(msg):
 def main():
     import numpy as np
 
-    # Defaults follow BENCH_r03_sweep.json (tools/bench_sweep.py): the
-    # exact per-frame engine — the faithful mode, the live daemon's
-    # frame-walk semantics — measures FASTER than the throughput-block
-    # mode at every carrier count (1557 vs 843 Msps at 512 carriers in
-    # that artifact), so the driver-recorded default is the best
-    # faithful configuration.
+    # Defaults follow the tracked sweep artifacts (tools/bench_sweep.py
+    # → BENCH_r0N_sweep.json): the exact engine — the faithful mode,
+    # the live daemon's frame-walk semantics — measures fastest at
+    # production carrier counts (1464 Msps at 512 in BENCH_r04_sweep),
+    # so the driver-recorded default is the best faithful configuration.
     n_chan = int(os.environ.get("BENCH_CHANNELS", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     # exact | decoded (uplink) | downlink | duplex | duplex_decoded

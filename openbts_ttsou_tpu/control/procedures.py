@@ -177,8 +177,11 @@ class ControlLayer:
             # until the link drains, bounded by a T3111-style deadline
             # (GSM 04.08 11.1.2: the post-release channel-deactivation
             # guard) so a vanished MS cannot pin the channel.
+            depth = channel.tx_depth() if hasattr(channel, "tx_depth") \
+                else -1
             self.pending_release[id(channel)] = (channel,
-                                                 self.bts.clock.fn())
+                                                 self.bts.clock.fn(),
+                                                 depth)
             return
         self._hard_release(channel)
 
@@ -196,9 +199,19 @@ class ControlLayer:
         t3111_frames = int(
             self.bts.config.get_int("GSM.Timer.T3111", 2000) / 4.615)
         now_fn = self.bts.clock.fn()
-        for key, (ch, fn0) in list(self.pending_release.items()):
-            if ch.tx_drained() or not ch.l1.active or \
-                    fn_delta(now_fn, fn0) > t3111_frames:
+        for key, (ch, fn0, depth0) in list(self.pending_release.items()):
+            if ch.tx_drained() or not ch.l1.active:
+                del self.pending_release[key]
+                self._hard_release(ch)
+                continue
+            # the deadline bounds a VANISHED MS (no acks), not a live
+            # one draining at SDCCH pace: any queue progress since the
+            # last tick restarts T3111 — LAPDm's own N200·T200 gives up
+            # on a truly dead link independently
+            depth = ch.tx_depth() if hasattr(ch, "tx_depth") else -1
+            if depth != depth0:
+                self.pending_release[key] = (ch, now_fn, depth)
+            elif fn_delta(now_fn, fn0) > t3111_frames:
                 del self.pending_release[key]
                 self._hard_release(ch)
 

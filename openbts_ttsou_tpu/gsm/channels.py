@@ -531,6 +531,11 @@ class LogicalChannel:
         channel drops, LogicalChannel::send blocking semantics)."""
         return all(l2.tx_drained() for l2 in self.l2.values())
 
+    def tx_depth(self) -> int:
+        """Total outstanding downlink across SAPs (see
+        L2LAPDm.tx_depth)."""
+        return sum(l2.tx_depth() for l2 in self.l2.values())
+
     def reset(self) -> None:
         """Hard-release all LAPDm entities (the HARDRELEASE primitive,
         GSMTransfer.h:72) so the channel can be reallocated cleanly."""

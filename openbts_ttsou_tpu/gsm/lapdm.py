@@ -99,6 +99,15 @@ class L2LAPDm:
         return (not self._pending_segments and self.vs == self.va
                 and not self._l1_out)
 
+    def tx_depth(self) -> int:
+        """Outstanding downlink work: queued segments + the open
+        unacked window + frames awaiting L1. Decreases exactly when
+        the peer acknowledges progress — Control's deferred release
+        uses this to distinguish a live-but-slow MS (depth falling)
+        from a vanished one (depth frozen)."""
+        return (len(self._pending_segments)
+                + ((self.vs - self.va) % 8) + len(self._l1_out))
+
     def read_high_side(self) -> Optional[L3Frame]:
         return self.l3_out.popleft() if self.l3_out else None
 

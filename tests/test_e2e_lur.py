@@ -122,10 +122,12 @@ def rig():
     # channel-recycling timers out of the way
     app.bts.config.set("GSM.Timer.T3101", "600000")
     app.bts.config.set("GSM.Timer.T3109", "600000")
-    # the simulated radio pumps one frame per step: shrink the T3111
-    # drain deadline (frames) so channels left mid-release by earlier
-    # module tests recycle within a short preamble pump
-    app.bts.config.set("GSM.Timer.T3111", "300")
+    # a live MS acks one I-frame per 51-frame multiframe, so a 3-deep
+    # release queue (MMInformation + LUAccept + ChannelRelease) takes
+    # ~300 frames to drain; T3111 must span that (Control restarts the
+    # deadline on drain progress, and the _reclaim_channels fixture —
+    # not this timer — recycles channels between tests)
+    app.bts.config.set("GSM.Timer.T3111", "2500")
     app.bts.clock = DaemonClock(daemon)
     for ch in app.dcch:
         ch.l1.clock = app.bts.clock.fn
@@ -485,7 +487,10 @@ def test_over_the_air_mt_sms(rig):
         bits = np.unpackbits(np.frombuffer(pdu, np.uint8))
         ms.l2_sms.write_high_side(L3Frame(bits, Primitive.DATA))
     closed = False
-    for _ in range(240):
+    # release closure is ack-paced: the ChannelRelease I-frame queues
+    # behind the SMS exchange's downlink (one block per 51-multiframe)
+    # and must be acknowledged before the deferred hard release fires
+    for _ in range(700):
         pump(app, daemon)
         while fn_scan < daemon.fn - 5:
             if dl_map.reverse(fn_scan) == 0:
