@@ -637,3 +637,70 @@ def test_veryearly_mtc_mode_modify_after_call_confirmed(layer):
         cmm.channel, cmm.mode).encode())
     assert t.pending_mode is None
     layer.bts.config.set("GSM.AssignmentType", "early")
+
+
+def test_deferred_release_tracks_drain_progress(layer):
+    """The T3111 drain deadline bounds a VANISHED MS, not a live one:
+    queue progress (acks arriving at LAPDm pace) restarts the clock,
+    while a frozen queue hard-releases at the deadline (GSM 04.08
+    11.1.2; Control restarts on tx_depth() movement)."""
+
+    class SlowChannel(FakeChannel):
+        """Drains one queued frame every `ack_every` frames — the
+        51-multiframe ack cadence of a real SDCCH — or never."""
+
+        def __init__(self, depth, ack_every=None):
+            super().__init__()
+            self.l1.active = True
+            self.depth = depth
+            self.ack_every = ack_every
+            self.reset_called = False
+            self._t0 = None
+
+        def tx_drained(self):
+            return self.depth == 0
+
+        def tx_depth(self):
+            return self.depth
+
+        def step_to(self, fn):
+            if self.ack_every and self._t0 is None:
+                self._t0 = fn
+            if self.ack_every and self.depth and \
+                    fn - self._t0 >= self.ack_every:
+                self._t0 = fn
+                self.depth -= 1
+
+        def reset(self):
+            self.reset_called = True
+
+    layer.bts.config.set("GSM.Timer.T3111", "500")  # ~108 frames
+    t3111 = int(500 / 4.615)
+
+    # live MS: acks every 51 frames < deadline -> never wiped, drains
+    live = SlowChannel(depth=3, ack_every=51)
+    layer.bts.add_sdcch(live)
+    layer.bts.get_sdcch()
+    layer._release_channel(live)
+    assert id(live) in layer.pending_release
+    for fn in range(0, 400, 10):
+        layer.bts.clock.set_fn(fn)
+        live.step_to(fn)
+        layer.release_tick()
+    assert live.depth == 0
+    assert id(live) not in layer.pending_release
+    assert live.reset_called  # clean hard release AFTER drain
+
+    # vanished MS: depth frozen -> hard release once T3111 passes
+    dead = SlowChannel(depth=2, ack_every=None)
+    layer.bts.add_sdcch(dead)
+    layer.bts.get_sdcch()
+    layer.bts.clock.set_fn(1000)
+    layer._release_channel(dead)
+    layer.bts.clock.set_fn(1000 + t3111 // 2)
+    layer.release_tick()
+    assert id(dead) in layer.pending_release  # deadline not yet
+    layer.bts.clock.set_fn(1000 + t3111 + 10)
+    layer.release_tick()
+    assert id(dead) not in layer.pending_release
+    assert dead.reset_called and dead.depth == 2  # wiped, not drained
