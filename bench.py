@@ -318,9 +318,12 @@ def main():
                     ul = jnp.roll(ul_halo, fn % 3, axis=0)
                     da = dl_atten + (fn % 977).astype(jnp.float32) * 1e-6
                     st = st._replace(fn=fn % 2715648)
+                    # static slot split matching tch_mask: the decode
+                    # leg runs each Viterbi only on its configured TNs
                     (st2, tx, tail2, blocks, tc2, prev2,
                      pv2) = _dbd(cfg, spec, st, ul, tail, content, da,
-                                 tc, fn, prev, pv, 0, 0)
+                                 tc, fn, prev, pv, 0, 0,
+                                 (0, 1, 6, 7), (2, 3, 4, 5))
                     probe = (jnp.sum(blocks.bits[..., 0].astype(
                         jnp.int32)) + jnp.sum(jnp.real(tx[:, 0]))
                         + jnp.sum(blocks.tch_speech[..., 0].astype(

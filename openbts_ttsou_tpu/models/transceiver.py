@@ -364,10 +364,12 @@ class DecodedBlocks(NamedTuple):
     tch_valid: Array
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 5, 6))
 def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                          state: eng.TrxState, samples: Array,
-                         bsic: int = 0
+                         bsic: int = 0,
+                         xcch_tns: tuple | None = None,
+                         tch_tns: tuple | None = None
                          ) -> tuple[eng.TrxState, eng.RxResult,
                                     DecodedBlocks]:
     """Full TPU-resident receiver: device-rate IQ → detection/demod →
@@ -385,7 +387,9 @@ def uplink_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
 
     fn0 = state.fn
     new_state, res = uplink_block(cfg, spec, state, samples)
-    return new_state, res, decode_block(res, fn0, spec.frames, bsic)
+    return new_state, res, decode_block(
+        res, fn0, spec.frames, bsic, xcch_tns=xcch_tns,
+        tch_tns=tch_tns, rach_tns=cfg.rach_slots)
 
 
 @functools.lru_cache(maxsize=None)
@@ -428,11 +432,30 @@ def _tch_group_tables(frames: int):
 DECODE_PRELUDE = 8
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _sub_tns(x: Array, tns: tuple, axis: int) -> Array:
+    """Static TN subset (XLA lowers the constant take to slices)."""
+    return jnp.take(x, np.asarray(tns, np.int32), axis=axis)
+
+
+def _back_tns(x: Array, tns: tuple, axis: int, fill=0) -> Array:
+    """Scatter a TN-subset result back into the full 8-slot lane
+    (non-configured slots report `fill` — the host demux never reads
+    them, mirroring TRXManager's per-(TN, FN) demux table)."""
+    full = list(x.shape)
+    full[axis] = 8
+    out = jnp.full(full, fill, x.dtype)
+    return out.at[
+        tuple(slice(None) if a != axis else np.asarray(tns, np.int32)
+              for a in range(len(full)))].set(x)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 7, 8))
 def uplink_block_decoded_stream(cfg: eng.TrxConfig, spec: UplinkSpec,
                                 state: eng.TrxState, samples: Array,
                                 bsic: int, prev_soft: Array,
-                                prev_valid: Array
+                                prev_valid: Array,
+                                xcch_tns: tuple | None = None,
+                                tch_tns: tuple | None = None
                                 ) -> tuple[eng.TrxState, eng.RxResult,
                                            DecodedBlocks, Array, Array]:
     """Streaming fused receiver: like `uplink_block_decoded`, but FEC
@@ -451,7 +474,9 @@ def uplink_block_decoded_stream(cfg: eng.TrxConfig, spec: UplinkSpec,
     fn0 = state.fn
     new_state, res = uplink_block(cfg, spec, state, samples)
     blocks = decode_block(res, fn0, spec.frames, bsic,
-                          prev_soft=prev_soft, prev_valid=prev_valid)
+                          prev_soft=prev_soft, prev_valid=prev_valid,
+                          xcch_tns=xcch_tns, tch_tns=tch_tns,
+                          rach_tns=cfg.rach_slots)
     return (new_state, res, blocks,
             res.soft_bits[-DECODE_PRELUDE:],
             jnp.asarray(True))
@@ -459,14 +484,26 @@ def uplink_block_decoded_stream(cfg: eng.TrxConfig, spec: UplinkSpec,
 
 def decode_block(res: eng.RxResult, fn0: Array, frames: int,
                  bsic: int = 0, prev_soft: Array | None = None,
-                 prev_valid: Array | None = None) -> DecodedBlocks:
+                 prev_valid: Array | None = None,
+                 xcch_tns: tuple | None = None,
+                 tch_tns: tuple | None = None,
+                 rach_tns: tuple | None = None) -> DecodedBlocks:
     """FEC-decode one block's RxResult on device: the FN%4-aligned
     4-burst XCCH groups inside the window, per-frame RACH decode, and
     the TCH/FS + FACCH 8-burst diagonal half-blocks. Shared by the
     single-chip and sharded pipelines. With `prev_soft` (the streaming
     carry, see `uplink_block_decoded_stream`), groups spanning the
     left window edge decode as well; groups are reported exactly once
-    (those completing in the current window)."""
+    (those completing in the current window).
+
+    `xcch_tns`/`tch_tns`/`rach_tns` (static TN tuples, default all 8)
+    restrict each decoder to the timeslots actually configured for
+    that channel type — the slot combination is quasi-static between
+    SETSLOT commands, exactly the knowledge TRXManager's demux table
+    encodes per (TN, FN) (TRXManager.cpp:146-168), and the decode leg
+    is Viterbi-scan-bound, so halving the slot set nearly halves its
+    cost. Outputs keep the full [..., 8, ...] shape; non-configured
+    slots report not-ok/invalid (the host demux never reads them)."""
     from openbts_ttsou_tpu.gsm import fec, l1fec
 
     c = res.soft_bits.shape[1]
@@ -482,11 +519,19 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
     off = (-fn0_ext) % 4  # frames until the next FN%4 block boundary
     # pad the frame axis so the slice never clamps (off ≤ 3); groups
     # extending past the window are masked invalid below
-    soft_p = jnp.pad(soft_all, ((0, 3), (0, 0), (0, 0), (0, 0)))
+    xt = tuple(range(8)) if xcch_tns is None else tuple(xcch_tns)
+    nx = len(xt)
+    soft_x = soft_all if nx == 8 else _sub_tns(soft_all, xt, 2)
+    soft_p = jnp.pad(soft_x, ((0, 3), (0, 0), (0, 0), (0, 0)))
     soft = lax.dynamic_slice_in_dim(soft_p, off, n_g * 4, axis=0)
-    # [G·4, C, 8, 148] → [G, 4, C, 8, 148] → [G·C·8, 4, 148]
-    g = jnp.moveaxis(soft.reshape(n_g, 4, c, 8, 148), 1, 3)
-    bits, ok = l1fec.xcch_decode(g.reshape(n_g * c * 8, 4, 148))
+    # [G·4, C, nx, 148] → [G, 4, C, nx, 148] → [G·C·nx, 4, 148]
+    g = jnp.moveaxis(soft.reshape(n_g, 4, c, nx, 148), 1, 3)
+    bits, ok = l1fec.xcch_decode(g.reshape(n_g * c * nx, 4, 148))
+    bits = bits.reshape(n_g, c, nx, 184)
+    ok = ok.reshape(n_g, c, nx)
+    if nx < 8:
+        bits = _back_tns(bits, xt, 2)
+        ok = _back_tns(ok, xt, 2, fill=False)
     ends = off + (jnp.arange(n_g) + 1) * 4
     # report each group exactly once: it must END inside the current
     # window; prelude-reaching groups need a valid carry
@@ -494,10 +539,17 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
         ((ends - 4 >= p) | pv)
 
     # RACH: every detected access burst decodes in the same program
-    # (RACHL1Decoder::writeLowSide, GSML1FEC.cpp:474-513)
+    # (RACHL1Decoder::writeLowSide, GSML1FEC.cpp:474-513), on the
+    # RACH-capable slots
+    rt = tuple(range(8)) if rach_tns is None else tuple(rach_tns)
     rach_soft = res.soft_bits[
         ..., l1fec.RACH_DATA_START: l1fec.RACH_DATA_START + 36]
+    if len(rt) < 8:
+        rach_soft = _sub_tns(rach_soft, rt, 2)
     ra, ra_ok = l1fec.rach_decode(rach_soft, bsic)
+    if len(rt) < 8:
+        ra = _back_tns(ra, rt, 2)
+        ra_ok = _back_tns(ra_ok, rt, 2, fill=False)
 
     # TCH/FS + FACCH (TCHFACCHL1Decoder::processBurst + deinterleave +
     # decode/decodeTCH, GSML1FEC.cpp:1031-1175). In window coordinates
@@ -512,29 +564,42 @@ def decode_block(res: eng.RxResult, fn0: Array, frames: int,
     gv = lax.dynamic_index_in_dim(jnp.asarray(tv), p26, 0, keepdims=False)
     # once-only + carry-validity masking, as for the XCCH groups
     gv = gv & (ge >= p) & ((gf[:, 0] >= p) | pv)
-    grp = jnp.take(soft_all, gf.reshape(-1), axis=0)
-    grp = jnp.moveaxis(grp.reshape((gt, 8, c, 8, 148)), 1, 3)
-    payload, (hl, _hu) = fec.unmap_from_burst(grp)  # [Gt, C, 8, 8, 114]
-    coded = fec.deinterleave(payload.reshape(gt * c * 8, 8, 114),
+    tt = tuple(range(8)) if tch_tns is None else tuple(tch_tns)
+    nt = len(tt)
+    soft_t = soft_all if nt == 8 else _sub_tns(soft_all, tt, 2)
+    grp = jnp.take(soft_t, gf.reshape(-1), axis=0)
+    grp = jnp.moveaxis(grp.reshape((gt, 8, c, nt, 148)), 1, 3)
+    payload, (hl, _hu) = fec.unmap_from_burst(grp)  # [Gt, C, nt, 8, 114]
+    coded = fec.deinterleave(payload.reshape(gt * c * nt, 8, 114),
                              fec.tch_interleave_map(0))  # [.., 456]
     # stealing flag: Hl of the completing (newest) burst
     # (GSML1FEC.cpp:1073; the encoder sets both H bits per GSM 05.03
     # 4.2.5, the decoder keys on Hl)
-    stolen = hl[..., 7] > 0.5  # [Gt, C, 8]
+    stolen = hl[..., 7] > 0.5  # [Gt, C, nt]
     speech, tch_parity = l1fec.tch_decode(coded)
     fbits, f_ok = l1fec.xcch_decode_coded(coded)
+    speech = speech.reshape(gt, c, nt, 260)
+    tch_parity = tch_parity.reshape(gt, c, nt)
+    fbits = fbits.reshape(gt, c, nt, 184)
+    f_ok = f_ok.reshape(gt, c, nt)
+    if nt < 8:
+        speech = _back_tns(speech, tt, 2)
+        tch_parity = _back_tns(tch_parity, tt, 2, fill=False)
+        fbits = _back_tns(fbits, tt, 2)
+        f_ok = _back_tns(f_ok, tt, 2, fill=False)
+        stolen = _back_tns(stolen, tt, 2, fill=False)
     gvc = gv[:, None, None]
 
     return DecodedBlocks(
-        bits=bits.reshape(n_g, c, 8, 184),
-        ok=ok.reshape(n_g, c, 8) & complete[:, None, None],
+        bits=bits,
+        ok=ok & complete[:, None, None],
         first_fn=(fn0_ext + off) % HYPERFRAME,
         rach_ra=ra.astype(jnp.int32),
         rach_ok=ra_ok & res.is_rach,
-        tch_speech=speech.reshape(gt, c, 8, 260),
-        tch_good=tch_parity.reshape(gt, c, 8) & ~stolen & gvc,
-        facch_bits=fbits.reshape(gt, c, 8, 184),
-        facch_ok=f_ok.reshape(gt, c, 8) & stolen & gvc,
+        tch_speech=speech,
+        tch_good=tch_parity & ~stolen & gvc,
+        facch_bits=fbits,
+        facch_ok=f_ok & stolen & gvc,
         tch_stolen=stolen & gvc,
         tch_end_fn=jnp.where(gv, (fn0_ext + ge) % HYPERFRAME, -1),
         tch_valid=gv,
@@ -626,7 +691,9 @@ def _encode_dl_window(cfg: eng.TrxConfig, spec: UplinkSpec,
                       xcch_valid: Array, speech: Array, sp_valid: Array,
                       facch: Array, fa_valid: Array, tch_mask: Array,
                       carry, fn0: Array, xcch_phase: int | None = None,
-                      xcch_carry: tuple | None = None
+                      xcch_carry: tuple | None = None,
+                      xcch_tns: tuple | None = None,
+                      tch_tns: tuple | None = None
                       ) -> tuple[Array, Array, tuple, tuple | None]:
     """Shared FEC-encode leg of `downlink_block_tch` and
     `duplex_block_decoded`: XCCH + TCH/FS + FACCH content for one
@@ -652,23 +719,33 @@ def _encode_dl_window(cfg: eng.TrxConfig, spec: UplinkSpec,
     f, c = spec.frames, cfg.n_chan
     g = frames184.shape[0]
     gt = speech.shape[0]
+    # static slot split (see decode_block): each encoder runs only on
+    # its configured TNs; outputs scatter back to the full 8-slot lane
+    xt = tuple(range(8)) if xcch_tns is None else tuple(xcch_tns)
+    nx = len(xt)
+    tt = tuple(range(8)) if tch_tns is None else tuple(tch_tns)
+    nt = len(tt)
 
     # ---- XCCH leg (XCCHL1Encoder::sendFrame, GSML1FEC.cpp:768-849) ---
-    bursts = l1fec.xcch_encode(frames184, tsc=None)  # [G, C, 8, 4, 148]
+    f184 = frames184 if nx == 8 else _sub_tns(frames184, xt, 2)
+    xvs = xcch_valid if nx == 8 else _sub_tns(xcch_valid, xt, 2)
+    bursts = l1fec.xcch_encode(f184, tsc=None)  # [G, C, nx, 4, 148]
     new_xcch_carry = None
     if xcch_phase is None:
-        xb = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, 8, 148)
+        xb = jnp.moveaxis(bursts, 3, 1).reshape(g * 4, c, nx, 148)
         pad = f - g * 4
         xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0), (0, 0)))
-        xv = jnp.pad(jnp.repeat(xcch_valid, 4, axis=0),
+        xv = jnp.pad(jnp.repeat(xvs, 4, axis=0),
                      ((0, pad), (0, 0), (0, 0)))
     else:
         assert g == 4 and xcch_carry is not None
         off = (-int(xcch_phase)) % 4  # local frame of the first grid
         cb, cv = xcch_carry
-        nb = jnp.moveaxis(bursts, 3, 1).reshape(16, c, 8, 148)
-        nv = jnp.repeat(xcch_valid, 4, axis=0)  # [16, C, 8]
-        seq_b = jnp.concatenate([cb, nb], axis=0)  # [19, C, 8, 148]
+        if nx < 8:
+            cb, cv = _sub_tns(cb, xt, 2), _sub_tns(cv, xt, 2)
+        nb = jnp.moveaxis(bursts, 3, 1).reshape(16, c, nx, 148)
+        nv = jnp.repeat(xvs, 4, axis=0)  # [16, C, nx]
+        seq_b = jnp.concatenate([cb, nb], axis=0)  # [19, C, nx, 148]
         seq_v = jnp.concatenate([cv, nv], axis=0)
         # static slice: carry frames fill local 0..off−1 (the window
         # reads the LAST `off` carry entries), the window spans
@@ -683,21 +760,47 @@ def _encode_dl_window(cfg: eng.TrxConfig, spec: UplinkSpec,
         cstart = start + f - (XCCH_TX_CARRY - off_next)
         keep = (jnp.arange(XCCH_TX_CARRY) >=
                 (XCCH_TX_CARRY - off_next))[:, None, None]
-        new_xcch_carry = (
-            lax.slice_in_dim(seq_b, cstart,
-                             cstart + XCCH_TX_CARRY, axis=0),
-            lax.slice_in_dim(seq_v, cstart,
-                             cstart + XCCH_TX_CARRY, axis=0) & keep)
+        ncb = lax.slice_in_dim(seq_b, cstart,
+                               cstart + XCCH_TX_CARRY, axis=0)
+        ncv = lax.slice_in_dim(seq_v, cstart,
+                               cstart + XCCH_TX_CARRY, axis=0) & keep
+        if nx < 8:
+            ncb = _back_tns(ncb, xt, 2)
+            ncv = _back_tns(ncv, xt, 2, fill=False)
+        new_xcch_carry = (ncb, ncv)
+    if nx < 8:
+        xb = _back_tns(xb, xt, 2)
+        xv = _back_tns(xv, xt, 2, fill=False)
 
     # ---- TCH/FS + FACCH leg (TCHFACCHL1Encoder, GSML1FEC.cpp:
     # 1106-1120, 1280-1393) --------------------------------------------
-    n = c * 8
+    if nt < 8:
+        sp_s = _sub_tns(speech, tt, 2)
+        spv_s = _sub_tns(sp_valid, tt, 2)
+        fa_s = _sub_tns(facch, tt, 2)
+        fav_s = _sub_tns(fa_valid, tt, 2)
+        # TchTxCarry lanes are [C·8, 8, 114]-shaped per (carrier, TN):
+        # subset the TN lane axis the same way
+        carry_s = tuple(
+            _sub_tns(x.reshape((c, 8) + x.shape[1:]), tt, 1)
+            .reshape((c * nt,) + x.shape[1:]) for x in carry)
+    else:
+        sp_s, spv_s, fa_s, fav_s, carry_s = (speech, sp_valid, facch,
+                                             fa_valid, carry)
+    n = c * nt
     tb, t_isburst, _hu, carry2 = l1fec.tch_tx_window(
-        speech.reshape(gt, n, 260), sp_valid.reshape(gt, n),
-        facch.reshape(gt, n, 184), fa_valid.reshape(gt, n),
-        carry, fn0, f)
-    tb = tb.reshape(f, c, 8, 148)
-    t_isburst = t_isburst.reshape(f, c, 8)
+        sp_s.reshape(gt, n, 260), spv_s.reshape(gt, n),
+        fa_s.reshape(gt, n, 184), fav_s.reshape(gt, n),
+        carry_s, fn0, f)
+    tb = tb.reshape(f, c, nt, 148)
+    t_isburst = t_isburst.reshape(f, c, nt)
+    if nt < 8:
+        tb = _back_tns(tb, tt, 2)
+        t_isburst = _back_tns(t_isburst, tt, 2, fill=False)
+        carry2 = tuple(
+            _back_tns(x.reshape((c, nt) + x.shape[1:]), tt, 1,
+                      fill=False if x.dtype == jnp.bool_ else 0)
+            .reshape((c * 8,) + x.shape[1:]) for x in carry2)
     tv = t_isburst & tch_mask[None]
 
     bits = jnp.where(tch_mask[None, :, :, None], tb, xb)
@@ -709,13 +812,15 @@ def _encode_dl_window(cfg: eng.TrxConfig, spec: UplinkSpec,
     return bits.astype(jnp.uint8), valid, carry2, new_xcch_carry
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 11, 12))
+@functools.partial(jax.jit, static_argnums=(0, 1, 11, 12, 13, 14))
 def duplex_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
                          state: eng.TrxState, ul_halo: Array,
                          tx_tail: Array, dl_content: tuple,
                          atten_db: Array, tx_carry, fn0_dl: Array,
                          prev_soft: Array, prev_valid: Array,
-                         bsic: int = 0, xcch_phase: int = 0
+                         bsic: int = 0, xcch_phase: int = 0,
+                         xcch_tns: tuple | None = None,
+                         tch_tns: tuple | None = None
                          ) -> tuple[eng.TrxState, Array, Array,
                                     DecodedBlocks, tuple, Array, Array]:
     """The fully-resident BTS layer 1, both directions, ONE device
@@ -739,6 +844,13 @@ def duplex_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     (uplink_block_decoded_stream). Stream continuity (ul_halo, tx_tail,
     TX_DELAY_DEV) as in duplex_block_wire.
 
+    `xcch_tns`/`tch_tns` (static, default all 8): the configured slot
+    split — both the encode and decode legs run each FEC chain only on
+    its slots (the Viterbi/conv scans are the program's dominant cost;
+    see decode_block). `tch_mask` must be False outside `tch_tns` and
+    True nowhere in `xcch_tns`'s XCCH-carrying slots; RACH decode
+    follows cfg.rach_slots.
+
     Returns (state', tx_dev [C, block_in], tx_tail', DecodedBlocks,
     tx_carry', prev_soft', prev_valid').
     Match: GSML1FEC.cpp:572-630,1106-1120 (the encode/decode pair)
@@ -754,7 +866,8 @@ def duplex_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     bits, valid, tch_carry2, xcch_carry2 = _encode_dl_window(
         cfg, spec, state, frames184, xcch_valid, speech, sp_valid,
         facch, fa_valid, tch_mask, tch_carry, fn0_dl,
-        xcch_phase=xcch_phase, xcch_carry=xcch_carry)
+        xcch_phase=xcch_phase, xcch_carry=xcch_carry,
+        xcch_tns=xcch_tns, tch_tns=tch_tns)
     tx_carry2 = (tch_carry2, xcch_carry2)
     slots = eng.tx_frames(cfg, state, bits, valid, atten_db)
     sym = _assemble_stream(slots)
@@ -773,7 +886,9 @@ def duplex_block_decoded(cfg: eng.TrxConfig, spec: UplinkSpec,
     state2, res = _exact_rx(cfg, frames, state,
                             sym_ul[..., : spec.block_symbols])
     blocks = decode_block(res, fn0, frames, bsic,
-                          prev_soft=prev_soft, prev_valid=prev_valid)
+                          prev_soft=prev_soft, prev_valid=prev_valid,
+                          xcch_tns=xcch_tns, tch_tns=tch_tns,
+                          rach_tns=cfg.rach_slots)
     return (state2, tx, new_tail, blocks, tx_carry2,
             res.soft_bits[-DECODE_PRELUDE:], jnp.asarray(True))
 

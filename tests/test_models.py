@@ -415,3 +415,131 @@ def test_uplink_block_decoded_tch_over_the_air():
     np.testing.assert_array_equal(
         np.asarray(dec.tch_speech)[g1, 0, tn],
         gsm610.payload_to_coder(payloads[0]))
+
+
+def test_decode_block_static_slot_split_matches_full():
+    """decode_block with xcch_tns/tch_tns/rach_tns restricted to the
+    configured slots computes bit-identical results on those slots and
+    not-ok/invalid elsewhere — the static slot split is a pure
+    scheduling change (each Viterbi runs only where its channel type
+    is configured, per TRXManager's demux table)."""
+    import jax.numpy as jnp
+
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        decode_block,
+    )
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(7)
+    c, f = 2, 13
+    soft = jnp.asarray(rng.random((f, c, 8, 148)).astype(np.float32))
+    prev = jnp.asarray(
+        rng.random((DECODE_PRELUDE, c, 8, 148)).astype(np.float32))
+    res = eng.RxResult(
+        detected=jnp.ones((f, c, 8), bool),
+        is_rach=jnp.asarray(rng.random((f, c, 8)) < 0.3),
+        soft_bits=soft,
+        rssi=jnp.zeros((f, c, 8), jnp.int32),
+        timing=jnp.zeros((f, c, 8), jnp.int32),
+    )
+    fn0 = jnp.asarray(51, jnp.int32)
+    xt, tt, rt = (0, 1, 6, 7), (2, 3, 4, 5), (0,)
+    full = decode_block(res, fn0, f, 5, prev_soft=prev,
+                        prev_valid=jnp.asarray(True))
+    part = decode_block(res, fn0, f, 5, prev_soft=prev,
+                        prev_valid=jnp.asarray(True),
+                        xcch_tns=xt, tch_tns=tt, rach_tns=rt)
+    xt_a, tt_a, rt_a = list(xt), list(tt), list(rt)
+
+    np.testing.assert_array_equal(np.asarray(part.bits)[:, :, xt_a],
+                                  np.asarray(full.bits)[:, :, xt_a])
+    np.testing.assert_array_equal(np.asarray(part.ok)[:, :, xt_a],
+                                  np.asarray(full.ok)[:, :, xt_a])
+    other = [t for t in range(8) if t not in xt]
+    assert not np.asarray(part.ok)[:, :, other].any()
+
+    np.testing.assert_array_equal(
+        np.asarray(part.tch_speech)[:, :, tt_a],
+        np.asarray(full.tch_speech)[:, :, tt_a])
+    for fld in ("tch_good", "facch_ok", "tch_stolen"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(part, fld))[:, :, tt_a],
+            np.asarray(getattr(full, fld))[:, :, tt_a])
+        assert not np.asarray(getattr(part, fld))[
+            :, :, [t for t in range(8) if t not in tt]].any()
+    np.testing.assert_array_equal(
+        np.asarray(part.facch_bits)[:, :, tt_a],
+        np.asarray(full.facch_bits)[:, :, tt_a])
+
+    np.testing.assert_array_equal(np.asarray(part.rach_ra)[:, :, rt_a],
+                                  np.asarray(full.rach_ra)[:, :, rt_a])
+    np.testing.assert_array_equal(np.asarray(part.rach_ok)[:, :, rt_a],
+                                  np.asarray(full.rach_ok)[:, :, rt_a])
+    assert not np.asarray(part.rach_ok)[:, :, 1:].any()
+
+
+def test_duplex_decoded_slot_split_roundtrip_equivalence():
+    """duplex_block_decoded with the static slot split produces the
+    same tx stream and the same decodes on the configured slots as the
+    unrestricted program (one window; tch_mask within tch_tns)."""
+    import jax.numpy as jnp
+
+    from openbts_ttsou_tpu.gsm import l1fec
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        RX_HALO_DEV,
+        TX_TAIL_SYM,
+        UplinkSpec,
+        XcchTxCarry,
+        duplex_block_decoded,
+    )
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(13)
+    c = 1
+    cfg = eng.TrxConfig(n_chan=c)
+    spec = UplinkSpec()
+    state = eng.init_state(cfg)
+    f = spec.frames
+
+    xt, tt = (0, 1, 6, 7), (2, 3, 4, 5)
+    tch_mask = np.zeros((c, 8), bool)
+    tch_mask[:, 2:6] = True
+    frames184 = rng.integers(0, 2, (4, c, 8, 184)).astype(np.uint8)
+    xv = np.ones((4, c, 8), bool)
+    speech = rng.integers(0, 2, (3, c, 8, 260)).astype(np.uint8)
+    spv = np.ones((3, c, 8), bool)
+    facch = np.zeros((3, c, 8, 184), np.uint8)
+    fav = np.zeros((3, c, 8), bool)
+    content = tuple(jnp.asarray(x) for x in
+                    (frames184, xv, speech, spv, facch, fav, tch_mask))
+    atten = jnp.zeros((f, c, 8), jnp.float32)
+    ul = jnp.zeros((c, RX_HALO_DEV * 2 + spec.block_in), jnp.complex64)
+    tail = jnp.zeros((c, TX_TAIL_SYM), jnp.complex64)
+    prev = jnp.zeros((DECODE_PRELUDE, c, 8, 148), jnp.float32)
+
+    outs = []
+    for tns in ((None, None), (xt, tt)):
+        tc0 = (l1fec.TchTxCarry.zeros(c * 8), XcchTxCarry.zeros(c))
+        outs.append(duplex_block_decoded(
+            cfg, spec, state, ul, tail, content, atten, tc0,
+            jnp.asarray(0, jnp.int32), prev, jnp.asarray(False),
+            0, 0, tns[0], tns[1]))
+    (s_a, tx_a, tl_a, bl_a, cr_a, ps_a, pv_a) = outs[0]
+    (s_b, tx_b, tl_b, bl_b, cr_b, ps_b, pv_b) = outs[1]
+
+    # identical tx stream: XCCH slots carry XCCH, TCH slots TCH, and
+    # the mask routes exactly as before the split
+    np.testing.assert_array_equal(np.asarray(tx_a), np.asarray(tx_b))
+    np.testing.assert_array_equal(np.asarray(tl_a), np.asarray(tl_b))
+    # identical decodes on the configured slots
+    np.testing.assert_array_equal(np.asarray(bl_a.bits)[:, :, list(xt)],
+                                  np.asarray(bl_b.bits)[:, :, list(xt)])
+    np.testing.assert_array_equal(
+        np.asarray(bl_a.tch_speech)[:, :, list(tt)],
+        np.asarray(bl_b.tch_speech)[:, :, list(tt)])
+    # TCH tx carry agrees on the TCH lanes
+    ca = np.asarray(cr_a[0][0]).reshape(c, 8, 8, 114)
+    cb = np.asarray(cr_b[0][0]).reshape(c, 8, 8, 114)
+    np.testing.assert_array_equal(ca[:, list(tt)], cb[:, list(tt)])
