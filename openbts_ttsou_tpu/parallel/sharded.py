@@ -199,7 +199,9 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                             spec: ShardedPipelineSpec,
                             mode: str = "exact",
                             carry_state: bool = True,
-                            collectives: bool = True):
+                            collectives: bool = True,
+                            xcch_tns: tuple | None = None,
+                            tch_tns: tuple | None = None):
     """Build the jitted sharded step.
 
     Returns ``step(state_sh, samples, fn0) -> (state_sh, result, clock)``
@@ -293,9 +295,14 @@ def sharded_uplink_pipeline(mesh: jax.sharding.Mesh, cfg: eng.TrxConfig,
                 shifted = jnp.zeros_like(tail)
             prelude = jnp.where(t_idx == 0, prev_soft[0], shifted)
             pvalid = jnp.where(t_idx == 0, prev_valid, True)
+            # static slot split (decode_block docstring): each FEC
+            # chain runs only on its configured TNs; RACH follows
+            # cfg.rach_slots
             dec = decode_block(results, fn_start,
                                spec.frames_per_shard,
-                               prev_soft=prelude, prev_valid=pvalid)
+                               prev_soft=prelude, prev_valid=pvalid,
+                               xcch_tns=xcch_tns, tch_tns=tch_tns,
+                               rach_tns=cfg_local.rach_slots)
             dec = dec._replace(first_fn=dec.first_fn[None])
             return (jax.tree.map(lambda x: x[None], state), results,
                     clock, dec)
