@@ -545,3 +545,87 @@ def test_duplex_decoded_fully_resident_roundtrip():
     assert len(got_x) == len(sent_xcch), (len(got_x), len(sent_xcch))
     for x in sent_xcch:
         assert any(np.array_equal(g, x) for g in got_x), "XCCH lost"
+
+
+def test_resident_l1_wrapper_matches_manual_threading():
+    """ResidentL1 (models/resident.py) drives duplex_block_decoded
+    with identical results to hand-threading the five carries + FN%4
+    phase cycling — and its carry()/restore() checkpoint round-trips
+    mid-stream (the resident path's save/resume contract)."""
+    import jax.numpy as jnp
+
+    from openbts_ttsou_tpu.gsm import l1fec as L
+    from openbts_ttsou_tpu.models.resident import ResidentL1
+    from openbts_ttsou_tpu.models.transceiver import (
+        DECODE_PRELUDE,
+        RX_HALO_DEV,
+        TX_TAIL_SYM,
+        UplinkSpec,
+        XcchTxCarry,
+        duplex_block_decoded,
+    )
+    from openbts_ttsou_tpu.trx import engine as eng
+
+    rng = np.random.default_rng(17)
+    c = 1
+    cfg = eng.TrxConfig(n_chan=c)
+    spec = UplinkSpec()
+    f = spec.frames
+    fn0 = 52  # FN%4 == 0; phases then cycle 0,1,2,3 over windows
+    tch_mask = np.zeros((c, 8), bool)
+    tch_mask[0, 3] = True
+    n_win = 3
+
+    contents = []
+    for w in range(n_win):
+        sp = rng.integers(0, 2, (3, c, 8, 260)).astype(np.uint8)
+        spv = np.ones((3, c, 8), bool)
+        fa = np.zeros((3, c, 8, 184), np.uint8)
+        fav = np.zeros((3, c, 8), bool)
+        xcch = rng.integers(0, 2, (4, c, 8, 184)).astype(np.uint8)
+        xv = np.ones((4, c, 8), bool)
+        contents.append(tuple(jnp.asarray(a) for a in
+                              (xcch, xv, sp, spv, fa, fav, tch_mask)))
+    uls = [jnp.asarray((rng.standard_normal((c, spec.block_in
+                                             + 2 * RX_HALO_DEV))
+                        + 1j * rng.standard_normal(
+                            (c, spec.block_in + 2 * RX_HALO_DEV))
+                        ).astype(np.complex64) * 50.0)
+           for _ in range(n_win)]
+    atten = jnp.zeros((f, c, 8), jnp.float32)
+
+    # --- manual threading (the pattern every caller used to repeat) ---
+    st = eng.init_state(cfg)
+    tail = jnp.zeros((c, TX_TAIL_SYM), jnp.complex64)
+    tc = (L.TchTxCarry.zeros(c * 8), XcchTxCarry.zeros(c))
+    prev = jnp.zeros((DECODE_PRELUDE, c, 8, 148), jnp.float32)
+    pv = jnp.asarray(False)
+    manual = []
+    for w in range(n_win):
+        fnw = fn0 + f * w
+        st = st._replace(fn=jnp.asarray(fnw, jnp.int32))
+        (st, tx, tail, blocks, tc, prev, pv) = duplex_block_decoded(
+            cfg, spec, st, uls[w], tail, contents[w], atten, tc,
+            jnp.asarray(fnw, jnp.int32), prev, pv, 0, fnw % 4)
+        manual.append((np.asarray(tx), blocks))
+
+    # --- the wrapper, with a checkpoint round-trip between windows ----
+    r = ResidentL1(cfg, spec, fn0=fn0)
+    got = []
+    for w in range(n_win):
+        if w == 2:  # save/restore mid-stream must be transparent
+            snap = r.carry()
+            r = ResidentL1(cfg, spec, fn0=0)
+            r.restore(snap)
+        got.append(r.step(uls[w], contents[w]))
+
+    for (tx_m, bl_m), (tx_w, bl_w) in zip(manual, got):
+        np.testing.assert_array_equal(tx_m, np.asarray(tx_w))
+        np.testing.assert_array_equal(np.asarray(bl_m.bits),
+                                      np.asarray(bl_w.bits))
+        np.testing.assert_array_equal(np.asarray(bl_m.ok),
+                                      np.asarray(bl_w.ok))
+        np.testing.assert_array_equal(np.asarray(bl_m.tch_speech),
+                                      np.asarray(bl_w.tch_speech))
+        np.testing.assert_array_equal(np.asarray(bl_m.rach_ok),
+                                      np.asarray(bl_w.rach_ok))
