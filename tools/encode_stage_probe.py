@@ -189,7 +189,11 @@ def main():
         blocks = M.decode_block(resx, jnp.asarray(0, jnp.int32), f, 0,
                                 prev_soft=prev_soft, prev_valid=prev_valid)
         h2 = h + jnp.sum(resx.soft_bits[..., 0]) * 1e-9
-        return h2, jnp.sum(blocks.ok.astype(jnp.int32))
+        return h2, (jnp.sum(blocks.ok.astype(jnp.int32))
+                + jnp.sum(blocks.bits.astype(jnp.int32))
+                + jnp.sum(blocks.tch_speech.astype(jnp.int32))
+                + jnp.sum(blocks.facch_ok.astype(jnp.int32))
+                + jnp.sum(blocks.rach_ra))
 
     res["uplink_rx_plus_decode"] = timed("rx + decode_block", s_rxdec,
                                          ul_halo)
@@ -207,10 +211,36 @@ def main():
         h2 = h + jnp.sum(jnp.abs(tx[:, :1])) * 1e-9
         return ((h2, tail2, carry2[0], carry2[1], ps2,
                  jnp.asarray(True)),
-                jnp.sum(blocks.ok.astype(jnp.int32)))
+                (jnp.sum(blocks.ok.astype(jnp.int32))
+                + jnp.sum(blocks.bits.astype(jnp.int32))
+                + jnp.sum(blocks.tch_speech.astype(jnp.int32))
+                + jnp.sum(blocks.facch_ok.astype(jnp.int32))
+                + jnp.sum(blocks.rach_ra)))
 
     res["duplex_decoded_full"] = timed(
         "duplex_block_decoded (full)", s_full,
+        (ul_halo, tail0, tch_carry, xcch_carry, prev_soft, prev_valid))
+
+    # 8. the same program with the static slot split (4 XCCH + 4 TCH
+    # TNs) — the A/B behind the BENCH_r05_sweep duplex_decoded gain
+    def s_full_split(st, x):
+        h, tail, tc, xc, ps, pv = x
+        st2, tx, tail2, blocks, carry2, ps2, pv2 = \
+            M.duplex_block_decoded(
+                cfg, spec, st, h.astype(jnp.complex64), tail, dl_content,
+                atten, (tc, xc), jnp.asarray(0, jnp.int32), ps, pv,
+                0, 0, (0, 1, 6, 7), (2, 3, 4, 5))
+        h2 = h + jnp.sum(jnp.abs(tx[:, :1])) * 1e-9
+        return ((h2, tail2, carry2[0], carry2[1], ps2,
+                 jnp.asarray(True)),
+                (jnp.sum(blocks.ok.astype(jnp.int32))
+                + jnp.sum(blocks.bits.astype(jnp.int32))
+                + jnp.sum(blocks.tch_speech.astype(jnp.int32))
+                + jnp.sum(blocks.facch_ok.astype(jnp.int32))
+                + jnp.sum(blocks.rach_ra)))
+
+    res["duplex_decoded_full_split"] = timed(
+        "duplex_block_decoded (slot split)", s_full_split,
         (ul_halo, tail0, tch_carry, xcch_carry, prev_soft, prev_valid))
 
     print(json.dumps({"carriers": c, "iters": iters,
